@@ -1,0 +1,72 @@
+"""manipulapy_tpu — TPU-native manipulator kinematics, dynamics & MPC.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of
+ManipulaPy's manipulator stack (see ``SURVEY.md`` at the repo root for the
+reference inventory), designed TPU-first:
+
+* immutable :class:`~manipulapy_tpu.models.RobotModel` PyTrees + pure
+  functions instead of stateful classes with dict caches;
+* exact dynamics everywhere (the reference's GPU kernels were simplified);
+* batching via ``jax.vmap``, scale-out via ``jax.sharding`` meshes;
+* hot paths as fused XLA programs and Pallas kernels.
+
+Submodules mirror the reference's layer map (``SURVEY.md`` section 1):
+``core`` (L0 math), ``models``/``urdf`` (L1), ``kinematics``/``ik`` (L2),
+``dynamics`` (L3), ``ops`` (L4 kernels), ``trajectory``/``potential_field``
+(L5), ``control`` (L6), ``singularity`` (L6b), ``mpc`` + ``parallel``
+(new TPU-native layers with no reference counterpart).
+
+Heavy submodules load lazily (same contract as the reference's facade,
+``ManipulaPy/__init__.py:174-220``) so ``import manipulapy_tpu`` stays
+cheap and optional-dependency failures surface at first use, not import.
+"""
+
+from __future__ import annotations
+
+import importlib
+from typing import TYPE_CHECKING
+
+__version__ = "0.1.0"
+
+_SUBMODULES = (
+    "core",
+    "models",
+    "kinematics",
+    "dynamics",
+    "trajectory",
+    "control",
+    "ik",
+    "potential_field",
+    "singularity",
+    "urdf",
+    "mpc",
+    "parallel",
+    "ops",
+    "utils",
+)
+
+# Names re-exported from submodules on first access.
+_LAZY_ATTRS = {
+    "RobotModel": ("models", "RobotModel"),
+    "make_robot_model": ("models", "make_robot_model"),
+}
+
+if TYPE_CHECKING:  # pragma: no cover - static typing only
+    from .models import RobotModel, make_robot_model  # noqa: F401
+
+
+def __getattr__(name: str):
+    if name in _SUBMODULES:
+        module = importlib.import_module(f".{name}", __name__)
+        globals()[name] = module
+        return module
+    if name in _LAZY_ATTRS:
+        mod_name, attr = _LAZY_ATTRS[name]
+        value = getattr(importlib.import_module(f".{mod_name}", __name__), attr)
+        globals()[name] = value
+        return value
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_SUBMODULES) | set(_LAZY_ATTRS))

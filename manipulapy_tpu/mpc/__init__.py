@@ -1,0 +1,22 @@
+"""Receding-horizon MPC: iLQR solver and cost library (TPU-native layer
+with no reference counterpart — see BASELINE.json north star)."""
+
+from .ilqr import ILQRParams, ILQRResult, ilqr, make_step_fn, mpc_step
+from .costs import (
+    quadratic_tracking_cost,
+    pose_tracking_cost,
+    obstacle_cost,
+    make_tracking_costs,
+)
+
+__all__ = [
+    "ILQRParams",
+    "ILQRResult",
+    "ilqr",
+    "make_step_fn",
+    "mpc_step",
+    "quadratic_tracking_cost",
+    "pose_tracking_cost",
+    "obstacle_cost",
+    "make_tracking_costs",
+]

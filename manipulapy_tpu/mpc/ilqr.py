@@ -1,0 +1,275 @@
+"""iLQR / SQP receding-horizon trajectory optimization.
+
+This layer has NO reference counterpart — the reference's planner stops at
+potential-field waypoint nudging ("extension point for RRT*/PRM",
+``path_planning.py:2252-2253``) and its controllers are single-step laws.
+The TPU build's north star (BASELINE.json) adds receding-horizon MPC:
+linearize the *exact* dynamics along a rollout, solve the LQR subproblem
+with a Riccati backward pass, line-search, repeat — everything under
+``jit`` with ``lax.scan`` over the horizon, ``vmap``-able over scenario
+batches, and sharding-ready (the scenario axis shards over the device
+mesh; see :mod:`manipulapy_tpu.parallel`).
+
+Design notes (TPU-first):
+
+* Dynamics linearization uses one ``jax.jacfwd`` over the discrete step —
+  XLA batches the (2n)-wide forward-mode tangents through the same fused
+  rollout kernel, so A, B come out of a single compiled program.
+* The backward pass is a ``lax.scan`` over time (sequential by nature,
+  but each step is tiny dense linear algebra that XLA keeps on-chip).
+* Control limits are handled by clamping the feedforward within the line
+  search (box-projected iLQR), matching the reference's clamp-style limit
+  semantics (``path_planning.py:1492-1503``).
+* Fixed iteration counts + masked convergence — no data-dependent Python
+  control flow, one compiled program for every problem instance.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..dynamics import forward_dynamics_fast
+from ..models.robot import RobotModel
+
+__all__ = ["ILQRParams", "ILQRResult", "make_step_fn", "ilqr", "mpc_step"]
+
+
+class ILQRParams(NamedTuple):
+    """Solver configuration (static across a solve)."""
+
+    horizon: int
+    dt: float
+    iterations: int = 10
+    line_search_steps: int = 8
+    reg_init: float = 1e-6
+    reg_scale: float = 10.0
+    reg_max: float = 1e6
+
+
+class ILQRResult(NamedTuple):
+    xs: jnp.ndarray  # (H+1, 2n) optimal state trajectory
+    us: jnp.ndarray  # (H, n) optimal controls (torques)
+    cost: jnp.ndarray  # scalar final cost
+    gains_K: jnp.ndarray  # (H, n, 2n) feedback gains for the MPC policy
+    converged: jnp.ndarray  # bool
+
+
+def make_step_fn(model: RobotModel, dt: float, g=None) -> Callable:
+    """Discrete dynamics ``x' = f(x, u)`` with state ``x = [q; dq]``.
+
+    Semi-implicit Euler over the exact forward dynamics (the integrator
+    the reference uses on its CPU path, ``path_planning.py:1479-1503``),
+    with position clamped to the joint limits.
+    """
+
+    n = model.num_joints
+
+    def step(x, u):
+        q, dq = x[:n], x[n:]
+        ddq = forward_dynamics_fast(model, q, dq, u, g)
+        dq_new = dq + ddq * dt
+        q_new = q + dq_new * dt
+        q_new = jnp.clip(q_new, model.joint_lower, model.joint_upper)
+        return jnp.concatenate([q_new, dq_new])
+
+    return step
+
+
+def _rollout(step_fn, x0, us):
+    def body(x, u):
+        x_next = step_fn(x, u)
+        return x_next, x_next
+
+    _, xs = jax.lax.scan(body, x0, us)
+    return jnp.concatenate([x0[None], xs], axis=0)
+
+
+@partial(jax.jit, static_argnames=("step_fn", "cost_fn", "final_cost_fn", "params"))
+def ilqr(
+    step_fn: Callable,
+    cost_fn: Callable,
+    final_cost_fn: Callable,
+    x0: jnp.ndarray,
+    us_init: jnp.ndarray,
+    params: ILQRParams,
+    u_min: Optional[jnp.ndarray] = None,
+    u_max: Optional[jnp.ndarray] = None,
+) -> ILQRResult:
+    """Iterative LQR with box control limits and Levenberg regularization.
+
+    Args:
+        step_fn: discrete dynamics ``x' = f(x, u)``.
+        cost_fn: running cost ``l(x, u, t)`` (scalar).
+        final_cost_fn: terminal cost ``lf(x)`` (scalar).
+        x0: (2n,) initial state.
+        us_init: (H, n) initial control sequence (warm start).
+        params: solver configuration.
+        u_min/u_max: optional (n,) control bounds (clamped in the forward
+            pass — box-projected iLQR).
+
+    Returns:
+        :class:`ILQRResult`. Batch over scenarios with ``vmap``.
+    """
+    H = params.horizon
+    ts = jnp.arange(H)
+
+    def clamp(u):
+        if u_min is not None:
+            u = jnp.maximum(u, u_min)
+        if u_max is not None:
+            u = jnp.minimum(u, u_max)
+        return u
+
+    def total_cost(xs, us):
+        run = jnp.sum(jax.vmap(cost_fn)(xs[:-1], us, ts))
+        return run + final_cost_fn(xs[-1])
+
+    # Derivative bundles, each out of one vectorized jacobian program.
+    fx_fn = jax.jacfwd(step_fn, argnums=0)
+    fu_fn = jax.jacfwd(step_fn, argnums=1)
+    lx_fn = jax.grad(cost_fn, argnums=0)
+    lu_fn = jax.grad(cost_fn, argnums=1)
+    lxx_fn = jax.hessian(cost_fn, argnums=0)
+    luu_fn = jax.hessian(cost_fn, argnums=1)
+    lux_fn = jax.jacfwd(jax.grad(cost_fn, argnums=1), argnums=0)
+    vx_fn = jax.grad(final_cost_fn)
+    vxx_fn = jax.hessian(final_cost_fn)
+
+    def backward(xs, us, reg):
+        """Riccati sweep -> (k, K, expected improvement, diverged?)."""
+        A = jax.vmap(fx_fn)(xs[:-1], us)  # (H, 2n, 2n)
+        B = jax.vmap(fu_fn)(xs[:-1], us)  # (H, 2n, n)
+        lx = jax.vmap(lx_fn)(xs[:-1], us, ts)
+        lu = jax.vmap(lu_fn)(xs[:-1], us, ts)
+        lxx = jax.vmap(lxx_fn)(xs[:-1], us, ts)
+        luu = jax.vmap(luu_fn)(xs[:-1], us, ts)
+        lux = jax.vmap(lux_fn)(xs[:-1], us, ts)
+
+        Vx = vx_fn(xs[-1])
+        Vxx = vxx_fn(xs[-1])
+        n_u = us.shape[-1]
+        eye_u = jnp.eye(n_u, dtype=us.dtype)
+
+        def bstep(carry, inp):
+            Vx, Vxx, dV, ok = carry
+            A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
+            Qx = lx_t + A_t.T @ Vx
+            Qu = lu_t + B_t.T @ Vx
+            Qxx = lxx_t + A_t.T @ Vxx @ A_t
+            Quu = luu_t + B_t.T @ Vxx @ B_t
+            Qux = lux_t + B_t.T @ Vxx @ A_t
+            Quu_reg = Quu + reg * eye_u
+            # Cholesky solve; a failed factorization (NaN) flags divergence.
+            L = jnp.linalg.cholesky(Quu_reg)
+            ok_t = jnp.all(jnp.isfinite(L))
+
+            def solve(rhs):
+                y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+                return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+            k_t = -solve(Qu)
+            K_t = -solve(Qux)
+            Vx_new = Qx + K_t.T @ Quu @ k_t + K_t.T @ Qu + Qux.T @ k_t
+            Vxx_new = Qxx + K_t.T @ Quu @ K_t + K_t.T @ Qux + Qux.T @ K_t
+            Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
+            dV_new = dV + k_t @ Qu + 0.5 * k_t @ (Quu @ k_t)
+            return (Vx_new, Vxx_new, dV_new, jnp.logical_and(ok, ok_t)), (k_t, K_t)
+
+        init = (Vx, Vxx, jnp.zeros((), dtype=us.dtype), jnp.asarray(True))
+        (Vx_f, Vxx_f, dV, ok), (ks, Ks) = jax.lax.scan(
+            bstep, init, (A, B, lx, lu, lxx, luu, lux), reverse=True
+        )
+        return ks, Ks, dV, ok
+
+    def forward(xs, us, ks, Ks, alpha):
+        """Closed-loop rollout with step scale alpha and control clamp."""
+
+        def fstep(x, inp):
+            x_ref, u_ref, k_t, K_t = inp
+            u = clamp(u_ref + alpha * k_t + K_t @ (x - x_ref))
+            x_next = step_fn(x, u)
+            return x_next, (x_next, u)
+
+        x0_ = xs[0]
+        _, (xs_new_tail, us_new) = jax.lax.scan(fstep, x0_, (xs[:-1], us, ks, Ks))
+        xs_new = jnp.concatenate([x0_[None], xs_new_tail], axis=0)
+        return xs_new, us_new
+
+    alphas = 0.5 ** jnp.arange(params.line_search_steps, dtype=us_init.dtype)
+
+    def iteration(carry, _):
+        xs, us, cost, reg, Ks_prev, done = carry
+        ks, Ks, dV, ok = backward(xs, us, reg)
+
+        # Line search over all alphas; evaluated sequentially via scan to
+        # bound memory (each candidate is a full rollout).
+        def try_alpha(best, alpha):
+            best_cost, best_xs, best_us, found = best
+            xs_a, us_a = forward(xs, us, ks, Ks, alpha)
+            cost_a = total_cost(xs_a, us_a)
+            better = jnp.logical_and(jnp.isfinite(cost_a), cost_a < best_cost)
+            take = jnp.logical_and(better, jnp.logical_not(found))
+            return (
+                jnp.where(take, cost_a, best_cost),
+                jnp.where(take, xs_a, best_xs),
+                jnp.where(take, us_a, best_us),
+                jnp.logical_or(found, take),
+            ), None
+
+        (new_cost, new_xs, new_us, improved), _ = jax.lax.scan(
+            try_alpha, (cost, xs, us, jnp.asarray(False)), alphas
+        )
+
+        accepted = jnp.logical_and(ok, improved)
+        reg_new = jnp.where(
+            accepted,
+            jnp.maximum(reg / params.reg_scale, 1e-9),
+            jnp.minimum(reg * params.reg_scale, params.reg_max),
+        )
+        converged = jnp.logical_and(accepted, (cost - new_cost) < 1e-9 * (1.0 + cost))
+        xs_out = jnp.where(accepted, new_xs, xs)
+        us_out = jnp.where(accepted, new_us, us)
+        cost_out = jnp.where(accepted, new_cost, cost)
+        Ks_out = jnp.where(ok, Ks, Ks_prev)
+        return (xs_out, us_out, cost_out, reg_new, Ks_out, jnp.logical_or(done, converged)), None
+
+    us0 = clamp(us_init)
+    xs0 = _rollout(step_fn, x0, us0)
+    cost0 = total_cost(xs0, us0)
+    n_x = x0.shape[0]
+    n_u = us_init.shape[-1]
+    Ks_init = jnp.zeros((H, n_u, n_x), dtype=us_init.dtype)
+    init = (
+        xs0,
+        us0,
+        cost0,
+        jnp.asarray(params.reg_init, dtype=us_init.dtype),
+        Ks_init,
+        jnp.asarray(False),
+    )
+    (xs, us, cost, _, Ks, done), _ = jax.lax.scan(init=init, xs=None, length=params.iterations, f=iteration)
+    return ILQRResult(xs=xs, us=us, cost=cost, gains_K=Ks, converged=done)
+
+
+def mpc_step(
+    step_fn: Callable,
+    cost_fn: Callable,
+    final_cost_fn: Callable,
+    x_current: jnp.ndarray,
+    us_warm: jnp.ndarray,
+    params: ILQRParams,
+    **limits,
+):
+    """One receding-horizon MPC step: solve from the current state with a
+    warm-started control sequence, return (first control, shifted warm
+    start, solver result). The shift-by-one warm start is the MPC
+    reincarnation of the reference's IK initial-guess cache idea
+    (``ik_helpers.py:227-360``)."""
+    result = ilqr(step_fn, cost_fn, final_cost_fn, x_current, us_warm, params, **limits)
+    u_apply = result.us[0]
+    us_next = jnp.concatenate([result.us[1:], result.us[-1:]], axis=0)
+    return u_apply, us_next, result

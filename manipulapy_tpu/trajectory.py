@@ -1,0 +1,228 @@
+"""Trajectory generation and trajectory-level dynamics, fully batched.
+
+Capability parity with the reference's planning layer
+(``ManipulaPy/path_planning.py``, ``cuda_kernels.py`` trajectory kernels),
+redesigned for XLA:
+
+* The reference ships *five* hand-tuned CUDA kernel variants plus an
+  occupancy autotuner for the same time-scaling math
+  (``cuda_kernels.py:780-1144, 1686-1896``). Here there is ONE jitted
+  formulation — an outer product of the scaling profile with the joint
+  delta — which XLA fuses and tiles; batching over (B, N, J) replaces the
+  3D CUDA grid (``cuda_kernels.py:1473-1541``).
+* ``inverse_dynamics_trajectory`` runs the *exact* dynamics vmapped over
+  every waypoint in one launch. The reference either loops the exact CPU
+  path serially (~1.19 ms x N, ``path_planning.py:1202-1263``) or uses a
+  deliberately simplified per-joint GPU kernel (``cuda_kernels.py:
+  1147-1228``). Exactness here is the headline improvement.
+* ``forward_dynamics_trajectory`` is a ``lax.scan`` over time with
+  ``intRes`` Euler sub-steps and the reference's joint-limit clamp
+  placement (``path_planning.py:1479-1503``) reproduced inside the step.
+* Joint-limit clipping of generated trajectories is applied post-hoc to
+  positions only, exactly like the reference (``path_planning.py:630-636``).
+
+All functions are pure; batch axes lead. ``method`` and ``N`` are static.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .core import lie
+from .core.time_scaling import scaling_profile
+from .dynamics import forward_dynamics_fast, inverse_dynamics, rnea, mass_matrix
+from .kinematics import jacobian
+from .models.robot import RobotModel
+
+__all__ = [
+    "Trajectory",
+    "joint_trajectory",
+    "batch_joint_trajectory",
+    "cartesian_trajectory",
+    "inverse_dynamics_trajectory",
+    "forward_dynamics_trajectory",
+]
+
+
+class Trajectory(NamedTuple):
+    """(N, J) positions/velocities/accelerations — the reference's
+    ``(traj_pos, traj_vel, traj_acc)`` triple."""
+
+    position: jnp.ndarray
+    velocity: jnp.ndarray
+    acceleration: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("N", "method", "clip_to_limits"))
+def joint_trajectory(
+    model: RobotModel,
+    theta_start: jnp.ndarray,
+    theta_end: jnp.ndarray,
+    Tf,
+    N: int,
+    method: int = 5,
+    clip_to_limits: bool = True,
+) -> Trajectory:
+    """Point-to-point joint trajectory with polynomial time scaling.
+
+    Behavioural twin of ``OptimizedTrajectoryPlanning.joint_trajectory``
+    (``path_planning.py:533-738``): ``pos = start + s (end - start)``,
+    ``vel = s_dot * delta``, ``acc = s_ddot * delta``, then positions are
+    clipped to the joint limits (``path_planning.py:630-636``).
+
+    Batch by passing (..., J) endpoints — the scaling profile broadcasts.
+    """
+    s, s_dot, s_ddot = scaling_profile(Tf, N, method, dtype=theta_start.dtype)
+    delta = theta_end - theta_start
+    pos = theta_start[..., None, :] + s[:, None] * delta[..., None, :]
+    vel = s_dot[:, None] * delta[..., None, :]
+    acc = s_ddot[:, None] * delta[..., None, :]
+    if clip_to_limits:
+        pos = jnp.clip(pos, model.joint_lower, model.joint_upper)
+    return Trajectory(pos, vel, acc)
+
+
+@partial(jax.jit, static_argnames=("N", "method", "clip_to_limits"))
+def batch_joint_trajectory(
+    model: RobotModel,
+    theta_start: jnp.ndarray,
+    theta_end: jnp.ndarray,
+    Tf,
+    N: int,
+    method: int = 5,
+    clip_to_limits: bool = True,
+) -> Trajectory:
+    """(B, J) start/end pairs -> (B, N, J) batch (reference 3D-grid kernel,
+    ``cuda_kernels.py:1473-1541`` / ``path_planning.py:805-947``)."""
+    return joint_trajectory(
+        model, theta_start, theta_end, Tf, N, method, clip_to_limits
+    )
+
+
+@partial(jax.jit, static_argnames=("N", "method"))
+def cartesian_trajectory(
+    X_start: jnp.ndarray,
+    X_end: jnp.ndarray,
+    Tf,
+    N: int,
+    method: int = 5,
+):
+    """Straight-line Cartesian trajectory with SE(3) orientation blending.
+
+    Positions interpolate linearly with the time scaling; orientation
+    follows the geodesic ``R(s) = R_s exp(log(R_s^T R_e) s)`` — the math
+    the reference runs per-step on host (``path_planning.py:1544-1559``),
+    here evaluated for all N steps in one batched exp/log.
+
+    Returns:
+        (poses, velocity, acceleration): (N, 4, 4) transforms plus (N, 3)
+        linear velocity/acceleration profiles (matching the reference's
+        Cartesian kernel outputs, ``cuda_kernels.py:1333-1385``).
+    """
+    dtype = X_start.dtype
+    s, s_dot, s_ddot = scaling_profile(Tf, N, method, dtype=dtype)
+    R_s, p_s = lie.trans_to_rp(X_start)
+    R_e, p_e = lie.trans_to_rp(X_end)
+    dp = p_e - p_s
+
+    pos = p_s + s[:, None] * dp
+    vel = s_dot[:, None] * dp
+    acc = s_ddot[:, None] * dp
+
+    log_rel = lie.so3_log(R_s.T @ R_e)  # (3,) rotation vector
+    R_steps = R_s @ lie.so3_exp(s[:, None] * log_rel)  # (N, 3, 3)
+    poses = lie.rp_to_trans(R_steps, pos)
+    return poses, vel, acc
+
+
+@partial(jax.jit, static_argnames=("use_rnea",))
+def inverse_dynamics_trajectory(
+    model: RobotModel,
+    thetamat: jnp.ndarray,
+    dthetamat: jnp.ndarray,
+    ddthetamat: jnp.ndarray,
+    g=None,
+    Ftip=None,
+    use_rnea: bool = True,
+) -> jnp.ndarray:
+    """Exact inverse dynamics for every waypoint, one fused launch.
+
+    (..., N, J) trajectories -> (..., N, J) torques, clamped to the
+    model's torque limits like both reference paths
+    (``path_planning.py:1184-1186, 1256-1259``). ``use_rnea`` selects the
+    O(n) Newton-Euler sweep (default) or the Lagrangian composition.
+    """
+    fn = rnea if use_rnea else inverse_dynamics
+
+    def per_point(q, dq, ddq, f):
+        return fn(model, q, dq, ddq, g, f)
+
+    flat_q = thetamat.reshape(-1, thetamat.shape[-1])
+    flat_dq = dthetamat.reshape(-1, thetamat.shape[-1])
+    flat_ddq = ddthetamat.reshape(-1, thetamat.shape[-1])
+    if Ftip is None:
+        flat_f = jnp.zeros((flat_q.shape[0], 6), dtype=thetamat.dtype)
+    else:
+        flat_f = jnp.broadcast_to(Ftip, thetamat.shape[:-1] + (6,)).reshape(-1, 6)
+    tau = jax.vmap(per_point)(flat_q, flat_dq, flat_ddq, flat_f)
+    tau = tau.reshape(thetamat.shape)
+    return jnp.clip(tau, -model.torque_limit, model.torque_limit)
+
+
+@partial(jax.jit, static_argnames=("intRes",))
+def forward_dynamics_trajectory(
+    model: RobotModel,
+    thetalist: jnp.ndarray,
+    dthetalist: jnp.ndarray,
+    taumat: jnp.ndarray,
+    g=None,
+    Ftipmat=None,
+    dt=0.01,
+    intRes: int = 1,
+):
+    """Integrate forward dynamics along a torque trajectory.
+
+    Matches the reference's CPU semantics (``path_planning.py:1435-1515``):
+    per waypoint, ``intRes`` semi-explicit Euler sub-steps of length
+    ``dt / intRes``; joint positions clamped to limits and velocities to
+    the velocity limit after each sub-step (clamp placement per
+    ``path_planning.py:1492-1503``). Exact dynamics throughout — the
+    reference's GPU variant used the simplified per-joint model
+    (``cuda_kernels.py:1230-1331``).
+
+    Batch by vmapping over a leading axis of ``thetalist``/``taumat``.
+
+    Returns:
+        (thetamat, dthetamat, ddthetamat): each (N, J), where row t is the
+        state at waypoint t (row 0 = initial state).
+    """
+    N = taumat.shape[-2]
+    sub_dt = jnp.asarray(dt, dtype=thetalist.dtype) / intRes
+    if Ftipmat is None:
+        Ftipmat = jnp.zeros(taumat.shape[:-1] + (6,), dtype=thetalist.dtype)
+
+    def substep(state, tau_f):
+        q, dq = state
+        tau, f = tau_f
+        ddq = forward_dynamics_fast(model, q, dq, tau, g, f)
+        dq_new = dq + ddq * sub_dt
+        q_new = q + dq_new * sub_dt
+        q_new = jnp.clip(q_new, model.joint_lower, model.joint_upper)
+        dq_new = jnp.clip(dq_new, -model.velocity_limit, model.velocity_limit)
+        return (q_new, dq_new), ddq
+
+    def step(state, tau_f):
+        def body(carry, _):
+            new_state, ddq = substep(carry, tau_f)
+            return new_state, ddq
+
+        (q_new, dq_new), ddqs = jax.lax.scan(body, state, None, length=intRes)
+        return (q_new, dq_new), (state[0], state[1], ddqs[-1])
+
+    init = (thetalist, dthetalist)
+    _, (qs, dqs, ddqs) = jax.lax.scan(step, init, (taumat, Ftipmat))
+    return qs, dqs, ddqs

