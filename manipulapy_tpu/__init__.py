@@ -43,6 +43,9 @@ _SUBMODULES = (
     "parallel",
     "ops",
     "utils",
+    "sim",
+    "vision",
+    "perception",
 )
 
 # Names re-exported from submodules on first access.

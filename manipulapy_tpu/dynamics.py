@@ -149,7 +149,11 @@ def forward_dynamics(
     rhs = tau - coriolis_forces(model, q, dq) - gravity_forces(model, q, g)
     if f_tip is not None:
         rhs = rhs - jacobian(model, q).T @ jnp.asarray(f_tip, dtype=model.dtype)
-    return jnp.linalg.solve(mass_matrix(model, q), rhs)
+    # Cholesky rather than LU: M is SPD, and TPU XLA only implements
+    # f32/c64 LU (f64 LU fails to compile there).
+    L = jnp.linalg.cholesky(mass_matrix(model, q))
+    y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
 
 
 # ---------------------------------------------------------------------------
@@ -260,9 +264,10 @@ def forward_dynamics_fast(
     one O(n) RNEA, one O(n^2)-einsum mass matrix, one n x n solve. Batched
     with ``vmap``, the solves become a single batched Cholesky/LU.
     """
+    from .ops.smallinalg import solve_spd_small
+
     rhs = tau - rnea(model, q, dq, jnp.zeros_like(q), g=g, f_tip=f_tip)
     M = mass_matrix(model, q)
-    # M is symmetric positive definite: Cholesky solve beats generic LU.
-    L = jnp.linalg.cholesky(M)
-    y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    # Scalar-unrolled SPD solve: XLA's batched small Cholesky kernels run
+    # far below the VPU roofline on TPU (see ops/smallinalg.py).
+    return solve_spd_small(M, rhs)

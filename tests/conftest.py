@@ -21,7 +21,10 @@ if "xla_cpu_enable_fast_math" not in _flags:
     # (verified empirically on this backend; see core/lie.py::_acos).
     _flags += " --xla_cpu_enable_fast_math=false"
 os.environ["XLA_FLAGS"] = _flags.strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force (not setdefault): the shared environment pins JAX_PLATFORMS=axon
+# (the remote TPU tunnel) — on it, every compile is an HTTP round trip and
+# f64 support is partial. Tests are a CPU/f64/virtual-mesh workload.
+os.environ["JAX_PLATFORMS"] = "cpu"
 # Persistent compilation cache: the test suite compiles hundreds of small
 # programs; caching makes reruns fast on this 2-vCPU host.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
