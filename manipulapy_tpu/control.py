@@ -242,10 +242,16 @@ def kalman_filter_predict(
 
 
 def kalman_filter_update(state: KalmanState, z, R) -> KalmanState:
-    """Update with H = I (``control.py:450-513``)."""
+    """Update with H = I (``control.py:450-513``).
+
+    The innovation covariance S = P + R is SPD, so the gain is obtained
+    from a Cholesky solve (K = P S^{-1} => S K^T = P^T) — TPU has no
+    f64 LU path and Cholesky is cheaper anyway.
+    """
     P = state.P
     S = P + R
-    K = P @ jnp.linalg.inv(S)
+    chol = jax.scipy.linalg.cho_factor(S, lower=True)
+    K = jax.scipy.linalg.cho_solve(chol, P.T).T
     x_new = state.x_hat + K @ (z - state.x_hat)
     P_new = (jnp.eye(P.shape[0], dtype=P.dtype) - K) @ P
     return KalmanState(x_hat=x_new, P=P_new)

@@ -31,6 +31,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import jax  # noqa: E402
 
+# The env var above is only read when jax's config module first loads; if a
+# pytest plugin imported jax before this conftest, it saw the terminal's
+# JAX_PLATFORMS=axon. config.update works regardless of import order.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
