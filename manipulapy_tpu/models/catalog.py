@@ -238,11 +238,19 @@ def register_robot(name: str, factory: Callable[..., RobotModel]) -> None:
 
 
 def list_robots() -> List[str]:
-    return sorted(_REGISTRY)
+    from . import data
+
+    return sorted(set(_REGISTRY) | set(data.list_robots()))
 
 
 def get_robot(name: str, **kwargs) -> RobotModel:
+    """Programmatic factories first; otherwise fall through to the
+    DH-table data catalog (``models/data.py``) via the URDF pipeline."""
     key = name.lower()
-    if key not in _REGISTRY:
-        raise KeyError(f"Unknown robot {name!r}. Available: {list_robots()}")
-    return _REGISTRY[key](**kwargs)
+    if key in _REGISTRY:
+        return _REGISTRY[key](**kwargs)
+    from . import data
+
+    if key in data.ROBOT_SPECS:
+        return data.load_robot(key, **kwargs)
+    raise KeyError(f"Unknown robot {name!r}. Available: {list_robots()}")

@@ -172,7 +172,9 @@ def self_collision_distances(
     """Pairwise signed clearances between link spheres; allowed pairs are
     +inf. Negative => colliding. Differentiable."""
     p = link_positions(model, q)  # (n, 3)
-    d = jnp.linalg.norm(p[:, None, :] - p[None, :, :], axis=-1)
+    # Same exact-overlap guard as obstacle_clearance (the diagonal is
+    # always a zero diff and would otherwise poison gradients with NaN).
+    d = jnp.linalg.norm(p[:, None, :] - p[None, :, :] + 1e-9, axis=-1)
     clearance = d - (spheres.radii[:, None] + spheres.radii[None, :])
     return jnp.where(spheres.allowed, jnp.inf, clearance)
 
@@ -192,7 +194,12 @@ def obstacle_clearance(
     Differentiable — used as an MPC obstacle cost and by the trajectory
     avoidance pass."""
     p = link_positions(model, q)  # (n, 3)
-    d = jnp.linalg.norm(p[:, None, :] - obstacle_points[None, :, :], axis=-1)  # (n, O)
+    # The 1e-9 offset is the exact-overlap escape (reference
+    # ``potential_field.py:139-148``): at p == obstacle the plain norm has
+    # a NaN gradient; with the offset the gradient is a finite unit
+    # direction that pushes the link off the point.
+    diff = p[:, None, :] - obstacle_points[None, :, :] + 1e-9
+    d = jnp.linalg.norm(diff, axis=-1)  # (n, O)
     return jnp.min(d, axis=-1) - spheres.radii
 
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .control import ControlState, computed_torque_control
-from .dynamics import forward_dynamics_fast, gravity_forces
+from .dynamics import bias_forces, forward_dynamics_fast, gravity_forces, mass_matrix
 from .kinematics import forward_kinematics
 from .models.robot import RobotModel
 from .potential_field import LinkSpheres, check_self_collision, default_link_spheres
@@ -155,14 +155,17 @@ class Simulation:
         role PyBullet's per-step position control plays in the reference,
         ``sim.py:697-732``); returns the final EE position."""
         traj = np.asarray(joint_trajectory)
-        Kp, Kd = 200.0, 20.0
+        # Mass-scaled (computed-torque) PD: closed loop is q'' = Kp e - Kd dq
+        # regardless of the robot's inertia, so the same gains are stable
+        # and critically damped (Kd = 2 sqrt(Kp)) for every model — fixed
+        # joint-space gains blow up on low-inertia arms.
+        Kp, Kd = 100.0, 20.0
         waypoints = list(traj) + [traj[-1]] * settle_steps
         for q_des in waypoints:
             q_des_j = jnp.asarray(q_des, dtype=self.model.dtype)
-            tau = (
-                Kp * (q_des_j - self.q)
-                - Kd * self.dq
-                + gravity_forces(self.model, self.q, self.g)
+            M = mass_matrix(self.model, self.q)
+            tau = M @ (Kp * (q_des_j - self.q) - Kd * self.dq) + bias_forces(
+                self.model, self.q, self.dq, self.g
             )
             self.step(tau)
             if self._pb is not None:
@@ -212,7 +215,9 @@ class Simulation:
         """(colliding?, min clearance) at the current state (reference
         ``sim.py:889-913``)."""
         colliding, min_c = check_self_collision(self.model, self.q, self.spheres)
-        return bool(colliding), float(min_c)
+        # A short chain can have no checkable (non-adjacent) pairs; report a
+        # large finite clearance rather than +inf so callers can do math on it.
+        return bool(colliding), float(min(float(min_c), 1e3))
 
     def save_joint_states(self, path: str) -> None:
         """CSV export of the state history (reference ``sim.py:992``)."""

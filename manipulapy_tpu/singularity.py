@@ -32,9 +32,25 @@ __all__ = [
 _SINGULARITY_THRESHOLD = 1e-4  # reference singularity.py:50-67
 
 
+def _measure_jacobian(model: RobotModel, q: jnp.ndarray) -> jnp.ndarray:
+    """Jacobian whose rank deficiency defines "singular" for this robot.
+
+    For n >= 6 the space Jacobian (reference ``singularity.py:65``) —
+    rank loss is frame-invariant, so this matches the reference's
+    detection. For n < 6 the full 6 x n Jacobian *never* loses rank (the
+    angular rows keep it full column rank, e.g. a stretched planar 2R
+    still has two independent columns), so singularity there means rank
+    loss of the task-relevant *linear* block of the body Jacobian.
+    """
+    if model.num_joints >= 6:
+        return jacobian(model, q, frame="space")
+    return jacobian(model, q, frame="body")[..., 3:, :]
+
+
 def singularity_measure(model: RobotModel, q: jnp.ndarray) -> jnp.ndarray:
-    """Smallest singular value of the space Jacobian."""
-    s = jnp.linalg.svd(jacobian(model, q), compute_uv=False)
+    """Smallest singular value of the task Jacobian (see
+    :func:`_measure_jacobian`)."""
+    s = jnp.linalg.svd(_measure_jacobian(model, q), compute_uv=False)
     return s[..., -1]
 
 
@@ -50,7 +66,7 @@ def near_singularity(model: RobotModel, q: jnp.ndarray, threshold: float = 1e-2)
 
 def condition_number(model: RobotModel, q: jnp.ndarray) -> jnp.ndarray:
     """sigma_max / sigma_min of the Jacobian (``singularity.py:216-229``)."""
-    s = jnp.linalg.svd(jacobian(model, q), compute_uv=False)
+    s = jnp.linalg.svd(_measure_jacobian(model, q), compute_uv=False)
     return s[..., 0] / jnp.maximum(s[..., -1], 1e-30)
 
 
@@ -76,11 +92,13 @@ def manipulability_ellipsoid(model: RobotModel, q: jnp.ndarray):
 
 
 def manipulability_measure(model: RobotModel, q: jnp.ndarray) -> jnp.ndarray:
-    """Yoshikawa measure ``sqrt(det(J J^T))``."""
-    J = jacobian(model, q)
-    JJt = J @ jnp.swapaxes(J, -1, -2)
-    sign, logdet = jnp.linalg.slogdet(JJt)
-    return jnp.where(sign > 0, jnp.exp(0.5 * logdet), 0.0)
+    """Yoshikawa measure ``sqrt(det(J J^T)) = prod(sigma_i)``.
+
+    Computed from singular values rather than ``slogdet`` — TPU XLA has
+    no f64 LU lowering, and the SVD is shared with the other measures.
+    """
+    s = jnp.linalg.svd(_measure_jacobian(model, q), compute_uv=False)
+    return jnp.prod(s, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("num_samples",))

@@ -6,7 +6,12 @@ robot description file to the device-side PyTree.
 """
 
 from .core import URDF
+from .geometry import TriMesh, box_mesh, cylinder_mesh, load_mesh, load_obj, load_stl, sphere_mesh
+from .modifiers import URDFModifier, urdf_to_xml
 from .parser import PackageResolver, URDFParser
+from .scene import RobotInstance, Scene
+from .validation import URDFValidator, ValidationResult, validate
+from .xacro import XacroProcessor, process_xacro
 from .types import (
     Box,
     Collision,
@@ -42,4 +47,20 @@ __all__ = [
     "Mesh",
     "Visual",
     "Collision",
+    "URDFModifier",
+    "urdf_to_xml",
+    "URDFValidator",
+    "ValidationResult",
+    "validate",
+    "XacroProcessor",
+    "process_xacro",
+    "Scene",
+    "RobotInstance",
+    "TriMesh",
+    "load_mesh",
+    "load_stl",
+    "load_obj",
+    "box_mesh",
+    "cylinder_mesh",
+    "sphere_mesh",
 ]

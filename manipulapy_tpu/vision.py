@@ -209,7 +209,9 @@ class Vision:
         d1 = np.asarray(left.get("distortion", np.zeros(5)), dtype=np.float64)
         d2 = np.asarray(right.get("distortion", np.zeros(5)), dtype=np.float64)
         R = np.asarray(right.get("rotation", np.eye(3)), dtype=np.float64)
-        T = np.asarray(right.get("translation", [0.1, 0, 0]), dtype=np.float64)
+        # OpenCV >= 5 requires the baseline as a 3x1 column vector.
+        T = np.asarray(right.get("translation", [0.1, 0, 0]), dtype=np.float64).reshape(3, 1)
+        image_size = (int(image_size[0]), int(image_size[1]))
         R1, R2, P1, P2, Q, _, _ = cv2.stereoRectify(K1, d1, K2, d2, image_size, R, T)
         m1 = cv2.initUndistortRectifyMap(K1, d1, R1, P1, image_size, cv2.CV_32FC1)
         m2 = cv2.initUndistortRectifyMap(K2, d2, R2, P2, image_size, cv2.CV_32FC1)
