@@ -36,6 +36,8 @@ _SUBMODULES = (
     "trajectory",
     "control",
     "ik",
+    "ik_cache",
+    "trac_ik",
     "potential_field",
     "singularity",
     "urdf",

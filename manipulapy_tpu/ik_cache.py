@@ -1,0 +1,235 @@
+"""IK initial-guess strategies: solution cache, smart and robust solvers.
+
+Capability parity with the reference's ``ManipulaPy/ik_helpers.py``
+(``IKInitialGuessCache``, ``ik_helpers.py:227-360``;
+``adaptive_multi_start_ik``, ``ik_helpers.py:390-519``) and the
+``smart_`` / ``robust_inverse_kinematics`` wrappers
+(``kinematics.py:494-757``).
+
+The cache is a host-side structure (it's warm-start *state*, the one
+thing that legitimately lives outside jit); everything it feeds runs as
+batched device solves. Where the reference retries strategies
+*sequentially* with a fallback chain, ``robust_ik`` runs the whole
+(strategy x damping x step-cap) schedule as ONE vmapped solve.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ik import (
+    IKResult,
+    extrapolate_guess,
+    midpoint_guess,
+    random_guesses,
+    solve_ik,
+    workspace_heuristic_guess,
+)
+from .models.robot import RobotModel
+
+__all__ = ["IKInitialGuessCache", "smart_ik", "robust_ik", "adaptive_multi_start_ik"]
+
+
+def _pose_distance(T_a: np.ndarray, T_b: np.ndarray, w_rot: float = 0.5) -> float:
+    """Position + weighted rotation (chordal) distance between poses —
+    the cache's similarity metric (``ik_helpers.py:252-270``)."""
+    dp = float(np.linalg.norm(T_a[:3, 3] - T_b[:3, 3]))
+    dR = float(np.linalg.norm(T_a[:3, :3] - T_b[:3, :3], "fro"))
+    return dp + w_rot * dR
+
+
+class IKInitialGuessCache:
+    """k-NN cache of (pose -> solution) pairs with quality scores and
+    FIFO eviction (reference ``IKInitialGuessCache``,
+    ``ik_helpers.py:227-360``)."""
+
+    def __init__(self, max_entries: int = 128, k: int = 3):
+        self.max_entries = int(max_entries)
+        self.k = int(k)
+        self._poses: List[np.ndarray] = []
+        self._solutions: List[np.ndarray] = []
+        self._quality: List[float] = []
+
+    def __len__(self) -> int:
+        return len(self._poses)
+
+    def add(self, T: np.ndarray, theta: np.ndarray, quality: float = 1.0) -> None:
+        """Insert a solved pose; FIFO-evict beyond capacity."""
+        self._poses.append(np.asarray(T, dtype=np.float64).copy())
+        self._solutions.append(np.asarray(theta, dtype=np.float64).copy())
+        self._quality.append(float(quality))
+        if len(self._poses) > self.max_entries:
+            self._poses.pop(0)
+            self._solutions.pop(0)
+            self._quality.pop(0)
+
+    def lookup(self, T: np.ndarray, max_distance: float = np.inf) -> Optional[np.ndarray]:
+        """Quality-weighted blend of the k nearest cached solutions
+        (``ik_helpers.py:300-340``); None on a miss."""
+        if not self._poses:
+            return None
+        T = np.asarray(T, dtype=np.float64)
+        d = np.array([_pose_distance(T, P) for P in self._poses])
+        order = np.argsort(d)[: self.k]
+        if d[order[0]] > max_distance:
+            return None
+        w = np.array([self._quality[i] / (d[i] + 1e-6) for i in order])
+        w = w / w.sum()
+        return np.einsum("i,ij->j", w, np.stack([self._solutions[i] for i in order]))
+
+    def clear(self) -> None:
+        self._poses.clear()
+        self._solutions.clear()
+        self._quality.clear()
+
+
+def smart_ik(
+    model: RobotModel,
+    T_desired: jnp.ndarray,
+    *,
+    strategy: str = "auto",
+    q_current: Optional[jnp.ndarray] = None,
+    cache: Optional[IKInitialGuessCache] = None,
+    seed: int = 0,
+    **solve_kw,
+) -> IKResult:
+    """Strategy-dispatched IK with an automatic fallback chain
+    (reference ``smart_inverse_kinematics``, ``kinematics.py:494-642``).
+
+    Strategies: ``workspace_heuristic`` / ``extrapolate`` / ``cached`` /
+    ``random`` / ``midpoint`` / ``auto`` (chain through all of them,
+    stopping at the first success). Successful solves populate ``cache``.
+    """
+
+    def guess_for(s: str, key) -> Optional[jnp.ndarray]:
+        if s == "workspace_heuristic":
+            return workspace_heuristic_guess(model, T_desired)
+        if s == "extrapolate":
+            if q_current is None:
+                return None
+            return extrapolate_guess(model, q_current, T_desired)
+        if s == "cached":
+            if cache is None:
+                return None
+            hit = cache.lookup(np.asarray(T_desired))
+            return None if hit is None else jnp.asarray(hit, dtype=model.dtype)
+        if s == "random":
+            return random_guesses(model, key, 1)[0]
+        if s == "midpoint":
+            return midpoint_guess(model)
+        raise ValueError(f"Unknown IK strategy {s!r}")
+
+    chain = (
+        ["cached", "extrapolate", "workspace_heuristic", "midpoint", "random"]
+        if strategy == "auto"
+        else [strategy]
+    )
+    key = jax.random.PRNGKey(seed)
+    best: Optional[IKResult] = None
+    for s in chain:
+        key, sub = jax.random.split(key)
+        theta0 = guess_for(s, sub)
+        if theta0 is None:
+            continue
+        res = solve_ik(model, T_desired, theta0, **solve_kw)
+        if best is None or float(res.rot_err + res.trans_err) < float(
+            best.rot_err + best.trans_err
+        ):
+            best = res
+        if bool(res.success):
+            if cache is not None:
+                cache.add(np.asarray(T_desired), np.asarray(res.theta))
+            return res
+    return best
+
+
+def robust_ik(
+    model: RobotModel,
+    T_desired: jnp.ndarray,
+    *,
+    theta0: Optional[jnp.ndarray] = None,
+    seed: int = 0,
+    **solve_kw,
+) -> IKResult:
+    """The reference's 10-entry (strategy, damping, step-cap) schedule
+    (``kinematics.py:674-686``) — run as ONE vmapped batch instead of
+    sequential restarts. Guesses repeat across damping tiers so every
+    (guess, parameters) combination races concurrently."""
+    key = jax.random.PRNGKey(seed)
+    dampings = jnp.asarray([5e-2, 5e-2, 1e-1, 1e-1, 2e-1, 5e-2, 1e-1, 2e-1, 3e-1, 5e-1], dtype=model.dtype)
+    step_caps = jnp.asarray([0.5, 0.3, 0.5, 0.3, 0.5, 1.0, 1.0, 0.7, 0.5, 0.3], dtype=model.dtype)
+    guesses = jnp.stack(
+        [
+            theta0 if theta0 is not None else workspace_heuristic_guess(model, T_desired),
+            midpoint_guess(model),
+            jnp.zeros(model.num_joints, dtype=model.dtype),
+        ]
+        + list(random_guesses(model, key, 7))
+    )
+
+    results = jax.vmap(
+        lambda th, d, c: solve_ik(model, T_desired, th, damping=d, step_cap=c, **solve_kw)
+    )(guesses, dampings, step_caps)
+    combined = results.rot_err + results.trans_err
+    penalty = jnp.where(results.success, 0.0, 1e6)
+    i = int(jnp.argmin(combined + penalty))
+    return IKResult(
+        results.theta[i],
+        results.success[i],
+        results.iterations[i],
+        results.rot_err[i],
+        results.trans_err[i],
+    )
+
+
+def adaptive_multi_start_ik(
+    model: RobotModel,
+    T_desired: jnp.ndarray,
+    *,
+    initial_starts: int = 4,
+    max_starts: int = 32,
+    cache: Optional[IKInitialGuessCache] = None,
+    seed: int = 0,
+    **solve_kw,
+) -> Tuple[IKResult, int]:
+    """Escalating multi-start (reference ``adaptive_multi_start_ik``,
+    ``ik_helpers.py:390-519``): start with a small batch, double the
+    start count until success or ``max_starts``. Returns
+    (result, total_starts_used)."""
+    from .ik import multi_start_ik
+
+    key = jax.random.PRNGKey(seed)
+    num = initial_starts
+    used = 0
+    best: Optional[IKResult] = None
+    theta0 = None
+    if cache is not None:
+        hit = cache.lookup(np.asarray(T_desired))
+        if hit is not None:
+            theta0 = jnp.asarray(hit, dtype=model.dtype)
+    while True:
+        key, sub = jax.random.split(key)
+        res = multi_start_ik(
+            model,
+            T_desired,
+            num_starts=num,
+            theta0=theta0,
+            seed=int(jax.random.randint(sub, (), 0, 2**31 - 1)),
+            **solve_kw,
+        )
+        used += num
+        if best is None or float(res.rot_err + res.trans_err) < float(
+            best.rot_err + best.trans_err
+        ):
+            best = res
+        if bool(res.success):
+            if cache is not None:
+                cache.add(np.asarray(T_desired), np.asarray(res.theta))
+            return best, used
+        if num >= max_starts:
+            return best, used
+        num = min(2 * num, max_starts)

@@ -1,0 +1,159 @@
+"""Dual-solver (trac-ik-style), guess-cache, smart/robust IK tests
+(reference coverage: tests/test_trac_ik.py, 44 tests; test_ik_helpers.py,
+31 tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from manipulapy_tpu.ik import IKResult, solve_ik
+from manipulapy_tpu.ik_cache import (
+    IKInitialGuessCache,
+    adaptive_multi_start_ik,
+    robust_ik,
+    smart_ik,
+)
+from manipulapy_tpu.kinematics import forward_kinematics
+from manipulapy_tpu.trac_ik import TracIKSolver, sqp_ik, trac_ik_solve
+
+
+def _target(model, q):
+    return forward_kinematics(model, jnp.asarray(q, dtype=model.dtype))
+
+
+class TestSQP:
+    def test_converges_on_reachable_pose(self, ur5):
+        q_true = jnp.asarray([0.4, -0.8, 0.9, 0.3, -0.5, 0.7], dtype=jnp.float64)
+        T = _target(ur5, q_true)
+        res = sqp_ik(ur5, T, q_true + 0.3, max_iterations=120)
+        assert bool(res.success)
+        assert float(res.trans_err) < 1e-6
+
+    def test_respects_joint_limits(self, ur5):
+        q_true = jnp.asarray([0.2, -0.5, 0.5, 0.1, -0.2, 0.3], dtype=jnp.float64)
+        res = sqp_ik(ur5, _target(ur5, q_true), jnp.zeros(6, dtype=jnp.float64))
+        q = np.asarray(res.theta)
+        assert np.all(q >= np.asarray(ur5.joint_lower) - 1e-12)
+        assert np.all(q <= np.asarray(ur5.joint_upper) + 1e-12)
+
+    def test_different_family_than_dls(self, ur5):
+        """Both converge but along different iterates (dual-solver value)."""
+        q_true = jnp.asarray([0.3, -0.6, 0.8, 0.2, -0.4, 0.5], dtype=jnp.float64)
+        T = _target(ur5, q_true)
+        guess = q_true + 0.4
+        r_sqp = sqp_ik(ur5, T, guess, max_iterations=200)
+        r_dls = solve_ik(ur5, T, guess, max_iterations=300)
+        assert bool(r_sqp.success) and bool(r_dls.success)
+
+
+class TestTracIK:
+    def test_solver_succeeds(self, ur5):
+        solver = TracIKSolver(ur5, timeout=2.0, num_guesses=6)
+        q_true = jnp.asarray([0.5, -0.7, 0.6, 0.4, -0.3, 0.2], dtype=jnp.float64)
+        res = solver.solve(_target(ur5, q_true))
+        assert bool(res.success)
+        assert float(res.trans_err) < 1e-6
+
+    def test_warm_start_used(self, ur5):
+        solver = TracIKSolver(ur5, timeout=2.0, num_guesses=4)
+        q_true = jnp.asarray([0.1, -0.4, 0.5, 0.2, -0.1, 0.3], dtype=jnp.float64)
+        res = solver.solve(_target(ur5, q_true), theta0=q_true + 0.05)
+        assert bool(res.success)
+
+    def test_one_shot_wrapper(self, planar2):
+        q_true = jnp.asarray([0.6, 0.9], dtype=jnp.float64)
+        res = trac_ik_solve(planar2, _target(planar2, q_true), timeout=2.0)
+        assert bool(res.success)
+
+    def test_unreachable_returns_best_effort(self, planar2):
+        """Timeout with an unreachable target still returns a best-effort
+        IKResult (reference behavior: best tracked solution)."""
+        T = np.eye(4)
+        T[:3, 3] = [5.0, 0.0, 0.0]  # outside the 2R workspace
+        solver = TracIKSolver(planar2, timeout=0.3, num_guesses=4)
+        res = solver.solve(jnp.asarray(T))
+        assert isinstance(res, IKResult)
+        assert not bool(res.success)
+        assert np.isfinite(float(res.trans_err))
+
+
+class TestGuessCache:
+    def test_add_lookup_roundtrip(self, ur5):
+        cache = IKInitialGuessCache(max_entries=8)
+        q = np.array([0.3, -0.5, 0.8, 0.2, -0.3, 1.1])
+        T = np.asarray(_target(ur5, jnp.asarray(q)))
+        cache.add(T, q)
+        hit = cache.lookup(T)
+        np.testing.assert_allclose(hit, q, atol=1e-9)
+
+    def test_knn_blend(self, ur5):
+        cache = IKInitialGuessCache(k=2)
+        for dq in (0.0, 0.02):
+            q = np.array([0.3 + dq, -0.5, 0.8, 0.2, -0.3, 1.1])
+            cache.add(np.asarray(_target(ur5, jnp.asarray(q))), q)
+        q_mid = np.array([0.31, -0.5, 0.8, 0.2, -0.3, 1.1])
+        hit = cache.lookup(np.asarray(_target(ur5, jnp.asarray(q_mid))))
+        assert abs(hit[0] - 0.31) < 0.02
+
+    def test_fifo_eviction(self):
+        cache = IKInitialGuessCache(max_entries=3)
+        for i in range(5):
+            T = np.eye(4)
+            T[0, 3] = float(i)
+            cache.add(T, np.full(6, float(i)))
+        assert len(cache) == 3
+        T0 = np.eye(4)  # evicted entry's pose
+        hit = cache.lookup(T0, max_distance=0.5)
+        assert hit is None or hit[0] >= 2.0
+
+    def test_max_distance_gate(self):
+        cache = IKInitialGuessCache()
+        cache.add(np.eye(4), np.zeros(6))
+        far = np.eye(4)
+        far[0, 3] = 10.0
+        assert cache.lookup(far, max_distance=1.0) is None
+
+
+class TestSmartRobust:
+    def test_smart_auto_converges_and_fills_cache(self, ur5):
+        cache = IKInitialGuessCache()
+        q_true = jnp.asarray([0.4, -0.6, 0.7, 0.3, -0.2, 0.4], dtype=jnp.float64)
+        res = smart_ik(ur5, _target(ur5, q_true), cache=cache, max_iterations=150)
+        assert bool(res.success)
+        assert len(cache) == 1
+
+    def test_smart_cached_strategy(self, ur5):
+        cache = IKInitialGuessCache()
+        q_true = jnp.asarray([0.4, -0.6, 0.7, 0.3, -0.2, 0.4], dtype=jnp.float64)
+        T = _target(ur5, q_true)
+        cache.add(np.asarray(T), np.asarray(q_true))
+        res = smart_ik(ur5, T, strategy="cached", cache=cache, max_iterations=50)
+        assert bool(res.success)
+        assert int(res.iterations) <= 5  # warm start converges immediately
+
+    def test_smart_unknown_strategy_raises(self, ur5):
+        with pytest.raises(ValueError, match="Unknown IK strategy"):
+            smart_ik(ur5, jnp.eye(4, dtype=jnp.float64), strategy="telepathy")
+
+    def test_robust_schedule(self, ur5):
+        q_true = jnp.asarray([0.5, -0.9, 1.1, 0.2, -0.6, 0.8], dtype=jnp.float64)
+        res = robust_ik(ur5, _target(ur5, q_true), max_iterations=120)
+        assert bool(res.success)
+
+    def test_adaptive_multi_start_escalates(self, planar2):
+        T = np.eye(4)
+        T[:3, 3] = [5.0, 0.0, 0.0]  # unreachable: forces escalation
+        res, used = adaptive_multi_start_ik(
+            planar2, jnp.asarray(T), initial_starts=2, max_starts=8, max_iterations=20
+        )
+        assert used == 2 + 4 + 8
+        assert not bool(res.success)
+
+    def test_adaptive_multi_start_quick_on_easy(self, ur5):
+        q_true = jnp.asarray([0.2, -0.4, 0.5, 0.1, -0.2, 0.3], dtype=jnp.float64)
+        res, used = adaptive_multi_start_ik(
+            ur5, _target(ur5, q_true), initial_starts=4, max_iterations=150
+        )
+        assert bool(res.success)
+        assert used == 4
