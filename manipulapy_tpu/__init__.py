@@ -34,6 +34,7 @@ _SUBMODULES = (
     "kinematics",
     "dynamics",
     "trajectory",
+    "planner",
     "control",
     "ik",
     "ik_cache",
