@@ -16,6 +16,15 @@ from .mesh import (
     distributed_ik,
     scaling_efficiency,
 )
+from .fleet import (
+    Fleet,
+    stack_models,
+    masked_forward_dynamics,
+    make_masked_step_fn,
+    fleet_rollout,
+    fleet_ilqr_solve,
+    fleet_mpc_round,
+)
 
 __all__ = [
     "make_mesh",
@@ -26,4 +35,11 @@ __all__ = [
     "distributed_rollout",
     "distributed_ik",
     "scaling_efficiency",
+    "Fleet",
+    "stack_models",
+    "masked_forward_dynamics",
+    "make_masked_step_fn",
+    "fleet_rollout",
+    "fleet_ilqr_solve",
+    "fleet_mpc_round",
 ]
