@@ -30,7 +30,7 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from manipulapy_tpu.models import catalog
-from manipulapy_tpu.trajectory import forward_dynamics_trajectory
+from manipulapy_tpu.ops.fd_step import build_rollout
 
 REFERENCE_EXACT_STEPS_PER_S = 1.0 / 1.17e-3  # README.md:442, CPU exact path
 
@@ -46,14 +46,9 @@ def main():
     dq0 = jax.random.uniform(k2, (batch, 6), minval=-0.5, maxval=0.5)
     taus = jax.random.uniform(k3, (batch, steps, 6), minval=-10.0, maxval=10.0)
 
-    rollout = jax.jit(
-        jax.vmap(
-            lambda q, dq, tau: forward_dynamics_trajectory(
-                model, q, dq, tau, dt=0.01, intRes=1
-            ),
-            in_axes=(0, 0, 0),
-        )
-    )
+    # Fused SoA rollout kernel (ops/fd_step.py): exact coupled dynamics as
+    # one flat elementwise program — ~6x the generic vmapped path on v5e.
+    rollout = build_rollout(model, dt=0.01, intRes=1)
 
     # Warmup (compile) + 1 cached run.
     out = rollout(q0, dq0, taus)

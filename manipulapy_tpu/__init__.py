@@ -24,9 +24,26 @@ cheap and optional-dependency failures surface at first use, not import.
 from __future__ import annotations
 
 import importlib
+import os
 from typing import TYPE_CHECKING
 
 __version__ = "0.1.0"
+
+# TPU MXU passes for f32 matmuls default to bf16 (~8 mantissa bits), which
+# breaks dynamics parity: Lagrangian-vs-RNEA torque agreement degrades from
+# ~2e-5 to ~0.8 Nm on a UR5 (measured on v5e). Everything here is tiny
+# (6x6 spatial algebra), so full-precision passes cost nothing — default to
+# "highest" and let power users override (the accuracy-vs-speed env-flag
+# contract of the reference's MANIPULAPY_FASTMATH, ``cuda_kernels.py:41``,
+# with the opposite, accuracy-first default).
+_precision = os.environ.get("MANIPULAPY_TPU_MATMUL_PRECISION", "highest")
+if _precision:
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_default_matmul_precision", _precision)
+    except Exception:  # unknown value: leave jax defaults in place
+        pass
 
 _SUBMODULES = (
     "core",

@@ -29,13 +29,14 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import cgen as cg
 from ..models.robot import RobotModel
 
-__all__ = ["build_fd_step", "build_bias_mass_fn"]
+__all__ = ["build_fd_step", "build_bias_mass_fn", "build_rollout"]
 
 
 def _np_model(model: RobotModel):
@@ -296,3 +297,50 @@ def build_fd_step(
         return q_new, dq_new, ddq
 
     return step
+
+
+def build_rollout(
+    model: RobotModel,
+    dt: float = 0.01,
+    intRes: int = 1,
+    g=(0.0, 0.0, -9.81),
+):
+    """Build a jitted batched rollout over the fused step.
+
+    ``rollout(q0, dq0, taumat) -> (qs, dqs, ddqs)`` with (B, n) initial
+    states and (B, N, n) torques; outputs are (B, N, n) where row t is
+    the state *at* waypoint t (row 0 = initial state) and ``ddqs[t]`` is
+    the last-substep acceleration — the exact output contract of
+    :func:`manipulapy_tpu.trajectory.forward_dynamics_trajectory`
+    (reference semantics, ``path_planning.py:1435-1515``), at the fused
+    SoA kernel's throughput (~6x the generic vmapped path on v5e).
+
+    Build once per (model, dt, intRes, g) and reuse — each call to this
+    builder emits and compiles a fresh program.
+    """
+    if intRes < 1:
+        raise ValueError("intRes must be >= 1")
+    step = build_fd_step(model, dt=float(dt) / intRes, g=g, clip_limits=True)
+
+    @jax.jit
+    def rollout(q0: jnp.ndarray, dq0: jnp.ndarray, taumat: jnp.ndarray):
+        # Scan over the waypoint axis: (..., N, n) -> (N, ..., n); identity
+        # for the unbatched (N, n) case.
+        taus_t = jnp.moveaxis(taumat, -2, 0)
+
+        def waypoint(carry, tau):
+            q, dq = carry
+
+            def sub(c, _):
+                q_i, dq_i = c
+                q_n, dq_n, ddq = step(q_i, dq_i, tau)
+                return (q_n, dq_n), ddq
+
+            (q_new, dq_new), ddqs = jax.lax.scan(sub, (q, dq), None, length=intRes)
+            return (q_new, dq_new), (q, dq, ddqs[-1])
+
+        _, (qs, dqs, ddqs) = jax.lax.scan(waypoint, (q0, dq0), taus_t)
+        move = lambda x: jnp.moveaxis(x, 0, -2)
+        return move(qs), move(dqs), move(ddqs)
+
+    return rollout

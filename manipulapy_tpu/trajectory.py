@@ -194,12 +194,26 @@ def forward_dynamics_trajectory(
     reference's GPU variant used the simplified per-joint model
     (``cuda_kernels.py:1230-1331``).
 
-    Batch by vmapping over a leading axis of ``thetalist``/``taumat``.
+    Leading batch axes are handled automatically: (B, J) states with
+    (B, N, J) torques produce (B, N, J) outputs.
 
     Returns:
         (thetamat, dthetamat, ddthetamat): each (N, J), where row t is the
         state at waypoint t (row 0 = initial state).
     """
+    if thetalist.ndim > 1:
+        if Ftipmat is None:
+            batched = jax.vmap(
+                lambda q, dq, t: forward_dynamics_trajectory(
+                    model, q, dq, t, g, None, dt, intRes
+                )
+            )
+            return batched(thetalist, dthetalist, taumat)
+        batched = jax.vmap(
+            lambda q, dq, t, f: forward_dynamics_trajectory(model, q, dq, t, g, f, dt, intRes)
+        )
+        f_b = jnp.broadcast_to(Ftipmat, taumat.shape[:-1] + (6,))
+        return batched(thetalist, dthetalist, taumat, f_b)
     N = taumat.shape[-2]
     sub_dt = jnp.asarray(dt, dtype=thetalist.dtype) / intRes
     if Ftipmat is None:

@@ -117,3 +117,46 @@ class TestSmallLinalg:
         x = jax.vmap(solve_spd_small)(jnp.asarray(M), jnp.asarray(rhs))
         ref = np.stack([np.linalg.solve(M[i], rhs[i]) for i in range(7)])
         np.testing.assert_allclose(np.asarray(x), ref, atol=1e-10)
+
+
+class TestBuildRollout:
+    """build_rollout must reproduce forward_dynamics_trajectory exactly
+    (same integrator, same clamp placement), batched and unbatched."""
+
+    def test_matches_generic_trajectory_batched(self, ur5):
+        from manipulapy_tpu.ops.fd_step import build_rollout
+        from manipulapy_tpu.trajectory import forward_dynamics_trajectory
+
+        B, N = 4, 7
+        q0, dq0, _ = _batch(ur5, B=B, seed=3)
+        rng = np.random.default_rng(4)
+        taus = jnp.asarray(rng.uniform(-20, 20, size=(B, N, ur5.num_joints)), dtype=ur5.dtype)
+        rollout = build_rollout(ur5, dt=0.01, intRes=2)
+        qs, dqs, ddqs = rollout(q0, dq0, taus)
+        ref = jax.vmap(
+            lambda q, dq, t: forward_dynamics_trajectory(ur5, q, dq, t, dt=0.01, intRes=2)
+        )(q0, dq0, taus)
+        np.testing.assert_allclose(np.asarray(qs), np.asarray(ref[0]), rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(dqs), np.asarray(ref[1]), rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(ddqs), np.asarray(ref[2]), rtol=1e-8, atol=1e-8)
+
+    def test_matches_generic_trajectory_unbatched(self, planar2):
+        from manipulapy_tpu.ops.fd_step import build_rollout
+        from manipulapy_tpu.trajectory import forward_dynamics_trajectory
+
+        N, n = 5, planar2.num_joints
+        rng = np.random.default_rng(5)
+        q0 = jnp.asarray(rng.uniform(-1, 1, n), dtype=planar2.dtype)
+        dq0 = jnp.zeros(n, dtype=planar2.dtype)
+        taus = jnp.asarray(rng.uniform(-5, 5, size=(N, n)), dtype=planar2.dtype)
+        rollout = build_rollout(planar2, dt=0.02)
+        qs, dqs, ddqs = rollout(q0, dq0, taus)
+        ref = forward_dynamics_trajectory(planar2, q0, dq0, taus, dt=0.02)
+        np.testing.assert_allclose(np.asarray(qs), np.asarray(ref[0]), rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(ddqs), np.asarray(ref[2]), rtol=1e-8, atol=1e-8)
+
+    def test_rejects_bad_intres(self, planar2):
+        from manipulapy_tpu.ops.fd_step import build_rollout
+
+        with pytest.raises(ValueError):
+            build_rollout(planar2, intRes=0)
