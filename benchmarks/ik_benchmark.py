@@ -1,0 +1,145 @@
+"""IK solver comparison benchmark: success rate and latency per solver.
+
+Mirrors the reference's ``Benchmark/ik_benchmark.py`` /
+``ik_branch_benchmark.py`` (solver success/latency over random reachable
+targets, JSON artifact — SURVEY.md section 2.7). Solvers compared:
+
+* ``iterative`` — damped-least-squares (:func:`manipulapy_tpu.ik.solve_ik`)
+* ``smart`` — strategy-dispatch initial guess + fallback chain
+* ``robust`` — multi-start parameter schedule
+* ``trac_ik`` — dual-algorithm DLS + projected-LM solver
+* ``batch`` — one vmapped multi-start solve for ALL targets at once (the
+  TPU-native mode with no reference counterpart: restarts and targets
+  become array axes).
+
+Run: ``python -m benchmarks.ik_benchmark [--targets 50]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from .common import setup_backend, write_artifact
+
+
+def run(num_targets: int = 50, seed: int = 0, robot: str = "ur5"):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from manipulapy_tpu import ik as ik_mod
+    from manipulapy_tpu import ik_cache, trac_ik
+    from manipulapy_tpu.kinematics import forward_kinematics
+    from manipulapy_tpu.models import catalog
+
+    model = catalog.get_robot(robot, dtype=jnp.float32)
+    n = model.num_joints
+    rng = np.random.default_rng(seed)
+    lo = np.where(np.isfinite(model.joint_lower), np.asarray(model.joint_lower), -np.pi)
+    hi = np.where(np.isfinite(model.joint_upper), np.asarray(model.joint_upper), np.pi)
+    q_true = jnp.asarray(rng.uniform(0.3 * lo, 0.3 * hi, size=(num_targets, n)), dtype=jnp.float32)
+    targets = jax.jit(jax.vmap(lambda q: forward_kinematics(model, q)))(q_true)
+    guess0 = jnp.zeros(n, dtype=jnp.float32)
+
+    def bench(name, solve_one):
+        # Warm-up on the first target (compile), then timed loop.
+        solve_one(targets[0])
+        succ, lat, errs = 0, [], []
+        for T in targets:
+            t0 = time.perf_counter()
+            ok, terr = solve_one(T)
+            lat.append(time.perf_counter() - t0)
+            if ok:
+                succ += 1
+                errs.append(terr)
+        lat_ms = np.asarray(lat) * 1e3
+        return {
+            "solver": name,
+            "success_rate": succ / num_targets,
+            "median_ms": float(np.median(lat_ms)),
+            "mean_ms": float(np.mean(lat_ms)),
+            "p95_ms": float(np.percentile(lat_ms, 95)),
+            "max_pos_err": float(max(errs)) if errs else None,
+        }
+
+    results = []
+
+    def _iterative(T):
+        r = ik_mod.solve_ik(model, T, guess0, max_iterations=300)
+        return bool(r.success), float(r.trans_err)
+
+    results.append(bench("iterative", _iterative))
+
+    cache = ik_cache.IKInitialGuessCache()
+
+    def _smart(T):
+        r = ik_cache.smart_ik(model, T, cache=cache, max_iterations=300)
+        return bool(r.success), float(r.trans_err)
+
+    results.append(bench("smart", _smart))
+
+    def _robust(T):
+        r = ik_cache.robust_ik(model, T, max_iterations=200)
+        return bool(r.success), float(r.trans_err)
+
+    results.append(bench("robust", _robust))
+
+    solver = trac_ik.TracIKSolver(model)
+
+    def _trac(T):
+        r = solver.solve(T)
+        return bool(r.success), float(r.trans_err)
+
+    results.append(bench("trac_ik", _trac))
+
+    # TPU-native batch mode: every target solved concurrently in ONE call.
+    batch_fn = jax.jit(
+        lambda T, g: ik_mod.solve_ik_batch(model, T, g, max_iterations=300)
+    )
+    guesses = jnp.tile(guess0, (num_targets, 1))
+    jax.block_until_ready(batch_fn(targets, guesses))  # compile
+    t0 = time.perf_counter()
+    rb = batch_fn(targets, guesses)
+    jax.block_until_ready(rb)
+    batch_s = time.perf_counter() - t0
+    succ = int(jnp.sum(rb.success))
+    results.append(
+        {
+            "solver": "batch_vmap",
+            "success_rate": succ / num_targets,
+            "median_ms": batch_s * 1e3 / num_targets,  # amortized per target
+            "mean_ms": batch_s * 1e3 / num_targets,
+            "p95_ms": batch_s * 1e3 / num_targets,
+            "total_batch_ms": batch_s * 1e3,
+            "max_pos_err": float(jnp.max(jnp.where(rb.success, rb.trans_err, 0.0))),
+        }
+    )
+    return results
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--targets", type=int, default=50)
+    p.add_argument("--robot", default="ur5")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--output", default=os.path.join(os.path.dirname(__file__), "ik_results.json"))
+    args = p.parse_args(argv)
+
+    backend = setup_backend("cpu" if args.cpu else None)
+    print(f"backend: {backend}")
+    results = run(args.targets, robot=args.robot)
+    for r in results:
+        print(
+            f"  {r['solver']:>10}: {r['success_rate']*100:5.1f}% success, "
+            f"median {r['median_ms']:8.2f} ms, mean {r['mean_ms']:8.2f} ms"
+        )
+    write_artifact(args.output, {"benchmark": "ik", "backend": backend, "results": results})
+    print(f"-> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -118,6 +118,9 @@ class TrajectoryPlanner:
         N: int,
         method: int = 5,
         avoid_collisions: bool = False,
+        avoidance_steps: int = 100,
+        avoidance_step_size: float = 0.01,
+        clearance_margin: float = 0.0,
     ) -> traj.Trajectory:
         dtype = self.model.dtype
         out = self._timed(
@@ -139,6 +142,9 @@ class TrajectoryPlanner:
                 jnp.asarray(theta_end, dtype=dtype),
                 self.spheres,
                 self.obstacle_points,
+                max_steps=avoidance_steps,
+                step_size=avoidance_step_size,
+                clearance_margin=clearance_margin,
             )
             out = traj.Trajectory(fixed, out.velocity, out.acceleration)
         return out

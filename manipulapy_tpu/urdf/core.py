@@ -120,6 +120,24 @@ class URDF:
         self.end_links = [name for name in order if not children_of[name]]
 
     @property
+    def links(self) -> List[Link]:
+        """All links, in parse order (reference ``URDF.links``)."""
+        return list(self._links.values())
+
+    @property
+    def joints(self) -> List[Joint]:
+        """All joints, in parse order (reference ``URDF.joints``)."""
+        return list(self._joints.values())
+
+    @property
+    def link_map(self) -> Dict[str, Link]:
+        return dict(self._links)
+
+    @property
+    def joint_map(self) -> Dict[str, Joint]:
+        return dict(self._joints)
+
+    @property
     def end_effector_link(self) -> Link:
         return self._links[self.end_links[0]]
 
