@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from ..dynamics import forward_dynamics_fast
 from ..models.robot import RobotModel
+from ..ops.smallinalg import chol_factor_small, chol_solve_small, chol_solve_small_mat
 
 __all__ = ["ILQRParams", "ILQRResult", "make_step_fn", "ilqr", "mpc_step"]
 
@@ -58,15 +59,37 @@ class ILQRResult(NamedTuple):
     converged: jnp.ndarray  # bool
 
 
-def make_step_fn(model: RobotModel, dt: float, g=None) -> Callable:
+def make_step_fn(model: RobotModel, dt: float, g=None, fused: bool = True) -> Callable:
     """Discrete dynamics ``x' = f(x, u)`` with state ``x = [q; dq]``.
 
     Semi-implicit Euler over the exact forward dynamics (the integrator
     the reference uses on its CPU path, ``path_planning.py:1479-1503``),
     with position clamped to the joint limits.
+
+    ``fused=True`` (default) emits the scalar-unrolled SoA step
+    (``ops/fd_step.py``) — ~3x faster inside the solver's sequential
+    scans on TPU. Requires concrete model arrays (host codegen); it
+    falls back to the generic path when the model is a tracer (e.g. a
+    vmapped fleet model).
     """
 
     n = model.num_joints
+
+    if fused:
+        try:
+            from ..ops.fd_step import build_fd_step
+
+            g_tuple = (0.0, 0.0, -9.81) if g is None else tuple(float(x) for x in g)
+            fstep = build_fd_step(model, dt=dt, g=g_tuple, clip_velocity=False)
+
+            def step(x, u):
+                q, dq = x[..., :n], x[..., n:]
+                q_new, dq_new, _ = fstep(q, dq, u)
+                return jnp.concatenate([q_new, dq_new], axis=-1)
+
+            return step
+        except (jax.errors.TracerArrayConversionError, TypeError):
+            pass  # traced model: fall through to the generic formulation
 
     def step(x, u):
         q, dq = x[:n], x[n:]
@@ -163,16 +186,14 @@ def ilqr(
             Quu = luu_t + B_t.T @ Vxx @ B_t
             Qux = lux_t + B_t.T @ Vxx @ A_t
             Quu_reg = Quu + reg * eye_u
-            # Cholesky solve; a failed factorization (NaN) flags divergence.
-            L = jnp.linalg.cholesky(Quu_reg)
-            ok_t = jnp.all(jnp.isfinite(L))
-
-            def solve(rhs):
-                y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-                return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
-
-            k_t = -solve(Qu)
-            K_t = -solve(Qux)
+            # Scalar-unrolled Cholesky (ops/smallinalg.py) — XLA's library
+            # small-matrix kernels are loop-based and dominate the backward
+            # sweep's latency otherwise. A failed factorization (sqrt of a
+            # negative -> NaN in the diagonal) flags divergence.
+            L = chol_factor_small(Quu_reg)
+            ok_t = jnp.all(jnp.isfinite(jnp.stack([L[i][i] for i in range(n_u)])))
+            k_t = -chol_solve_small(L, Qu)
+            K_t = -chol_solve_small_mat(L, Qux)
             Vx_new = Qx + K_t.T @ Quu @ k_t + K_t.T @ Qu + Qux.T @ k_t
             Vxx_new = Qxx + K_t.T @ Quu @ K_t + K_t.T @ Qux + Qux.T @ K_t
             Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
@@ -205,24 +226,20 @@ def ilqr(
         xs, us, cost, reg, Ks_prev, done = carry
         ks, Ks, dV, ok = backward(xs, us, reg)
 
-        # Line search over all alphas; evaluated sequentially via scan to
-        # bound memory (each candidate is a full rollout).
-        def try_alpha(best, alpha):
-            best_cost, best_xs, best_us, found = best
-            xs_a, us_a = forward(xs, us, ks, Ks, alpha)
-            cost_a = total_cost(xs_a, us_a)
-            better = jnp.logical_and(jnp.isfinite(cost_a), cost_a < best_cost)
-            take = jnp.logical_and(better, jnp.logical_not(found))
-            return (
-                jnp.where(take, cost_a, best_cost),
-                jnp.where(take, xs_a, best_xs),
-                jnp.where(take, us_a, best_us),
-                jnp.logical_or(found, take),
-            ), None
-
-        (new_cost, new_xs, new_us, improved), _ = jax.lax.scan(
-            try_alpha, (cost, xs, us, jnp.asarray(False)), alphas
-        )
+        # Line search: ALL alphas roll out concurrently (vmapped) — the
+        # candidates are independent, so batching them divides the
+        # sequential depth by the alpha count (the dominant cost of a
+        # small-n solve on TPU is sequential kernel latency, not FLOPs).
+        # Selection keeps the first-improving-alpha semantics of a
+        # backtracking search.
+        xs_all, us_all = jax.vmap(lambda a: forward(xs, us, ks, Ks, a))(alphas)
+        costs_all = jax.vmap(total_cost)(xs_all, us_all)
+        improving = jnp.logical_and(jnp.isfinite(costs_all), costs_all < cost)
+        idx = jnp.argmax(improving)  # first True (alphas are ordered large->small)
+        improved = jnp.any(improving)
+        new_cost = costs_all[idx]
+        new_xs = xs_all[idx]
+        new_us = us_all[idx]
 
         accepted = jnp.logical_and(ok, improved)
         reg_new = jnp.where(

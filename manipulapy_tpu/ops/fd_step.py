@@ -265,13 +265,17 @@ def build_fd_step(
     dt: float,
     g=(0.0, 0.0, -9.81),
     clip_limits: bool = True,
+    clip_velocity: bool = True,
 ):
     """Build the fused semi-implicit-Euler step for this robot.
 
     Returns ``step(q, dq, tau) -> (q', dq', ddq)`` over (B, n) arrays
     (also works unbatched). Integration semantics match
     ``trajectory.forward_dynamics_trajectory``'s substep (clamp placement
-    per the reference, ``path_planning.py:1492-1503``).
+    per the reference, ``path_planning.py:1492-1503``). ``clip_velocity``
+    can be disabled independently — the MPC step function clips positions
+    only (``mpc/ilqr.py:make_step_fn``), and hard velocity clamps kill
+    the gradients the solver needs.
     """
     S_np, Mc_np, G_np, lower, upper, vel_lim = _np_model(model)
     n, dynamics_of = _emit_dynamics(model, g)
@@ -292,7 +296,7 @@ def build_fd_step(
         q_new = q + dq_new * dt
         if clip_limits and has_pos_limit:
             q_new = jnp.clip(q_new, lower_j, upper_j)
-        if clip_limits and has_vel_limit:
+        if clip_limits and clip_velocity and has_vel_limit:
             dq_new = jnp.clip(dq_new, -vel_j, vel_j)
         return q_new, dq_new, ddq
 

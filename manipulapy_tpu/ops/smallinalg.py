@@ -17,7 +17,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["chol_factor_small", "chol_solve_small", "solve_spd_small"]
+__all__ = [
+    "chol_factor_small",
+    "chol_solve_small",
+    "chol_solve_small_mat",
+    "solve_spd_small",
+    "solve_spd_small_mat",
+]
 
 
 def chol_factor_small(M: jnp.ndarray) -> list:
@@ -67,6 +73,33 @@ def chol_solve_small(L: list, rhs: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(x, axis=-1)
 
 
+def chol_solve_small_mat(L: list, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Matrix-RHS variant: solve ``L L^T X = rhs`` for rhs (..., n, m).
+
+    Rows of the RHS broadcast against the scalar factor entries, so the
+    whole multi-column solve stays one fused elementwise program.
+    """
+    n = len(L)
+    y = [None] * n
+    for i in range(n):
+        s = rhs[..., i, :]
+        for k in range(i):
+            s = s - L[i][k][..., None] * y[k]
+        y[i] = s / L[i][i][..., None]
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i][..., None] * x[k]
+        x[i] = s / L[i][i][..., None]
+    return jnp.stack(x, axis=-2)
+
+
 def solve_spd_small(M: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """``M^{-1} rhs`` for small SPD ``M`` (..., n, n) and rhs (..., n)."""
     return chol_solve_small(chol_factor_small(M), rhs)
+
+
+def solve_spd_small_mat(M: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """``M^{-1} rhs`` for small SPD ``M`` (..., n, n) and rhs (..., n, m)."""
+    return chol_solve_small_mat(chol_factor_small(M), rhs)
