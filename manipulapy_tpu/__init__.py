@@ -72,6 +72,12 @@ _SUBMODULES = (
 _LAZY_ATTRS = {
     "RobotModel": ("models", "RobotModel"),
     "make_robot_model": ("models", "make_robot_model"),
+    # Dependency/feature surface (reference facade: __init__.py:272-461).
+    "check_dependencies": ("utils", "check_dependencies"),
+    "get_available_features": ("utils", "get_available_features"),
+    "get_installation_command": ("utils", "get_installation_command"),
+    "require_feature": ("utils", "require_feature"),
+    "test_installation": ("utils", "test_installation"),
 }
 
 if TYPE_CHECKING:  # pragma: no cover - static typing only

@@ -9,6 +9,7 @@ from .core import URDF
 from .geometry import TriMesh, box_mesh, cylinder_mesh, load_mesh, load_obj, load_stl, sphere_mesh
 from .modifiers import URDFModifier, urdf_to_xml
 from .parser import PackageResolver, URDFParser
+from .processor import URDFToRobotModel
 from .scene import RobotInstance, Scene
 from .validation import URDFValidator, ValidationResult, validate
 from .xacro import XacroProcessor, process_xacro
@@ -33,6 +34,7 @@ __all__ = [
     "URDF",
     "URDFParser",
     "PackageResolver",
+    "URDFToRobotModel",
     "Origin",
     "Inertial",
     "Link",

@@ -1,7 +1,15 @@
-"""Runtime utilities: profiling, performance stats, config flags."""
+"""Runtime utilities: profiling, performance stats, config flags, features."""
 
 from .profiling import PerformanceMonitor, benchmark_fn, profile_trace
 from .config import configure_cpu_precision, env_flag
+from .features import (
+    check_dependencies,
+    get_available_features,
+    get_installation_command,
+    missing_dependencies,
+    require_feature,
+    test_installation,
+)
 
 __all__ = [
     "PerformanceMonitor",
@@ -9,4 +17,10 @@ __all__ = [
     "profile_trace",
     "configure_cpu_precision",
     "env_flag",
+    "check_dependencies",
+    "get_available_features",
+    "get_installation_command",
+    "missing_dependencies",
+    "require_feature",
+    "test_installation",
 ]
