@@ -66,6 +66,7 @@ _SUBMODULES = (
     "sim",
     "vision",
     "perception",
+    "plotting",
 )
 
 # Names re-exported from submodules on first access.

@@ -12,6 +12,7 @@ from .parser import PackageResolver, URDFParser
 from .processor import URDFToRobotModel
 from .scene import RobotInstance, Scene
 from .validation import URDFValidator, ValidationResult, validate
+from .visualization import animate_robot, show_robot
 from .xacro import XacroProcessor, process_xacro
 from .types import (
     Box,
@@ -65,4 +66,6 @@ __all__ = [
     "box_mesh",
     "cylinder_mesh",
     "sphere_mesh",
+    "show_robot",
+    "animate_robot",
 ]

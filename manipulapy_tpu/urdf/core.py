@@ -210,6 +210,22 @@ class URDF:
             chain.append(j.parent)
         return list(reversed(chain))
 
+    # -- visualization (reference URDF.show()/animate()) ----------------------
+
+    def show(self, cfg=None, backend: str = "matplotlib", **kw):
+        """Render the robot (matplotlib skeleton or PyBullet); see
+        :func:`manipulapy_tpu.urdf.visualization.show_robot`."""
+        from .visualization import show_robot
+
+        return show_robot(self, cfg, backend=backend, **kw)
+
+    def animate(self, cfgs, backend: str = "matplotlib", **kw):
+        """Animate configurations; see
+        :func:`manipulapy_tpu.urdf.visualization.animate_robot`."""
+        from .visualization import animate_robot
+
+        return animate_robot(self, cfgs, backend=backend, **kw)
+
     # -- screw extraction ----------------------------------------------------
 
     def extract_screw_axes(self, tip_link: Optional[str] = None) -> Dict[str, np.ndarray]:
