@@ -2,6 +2,7 @@
 
 from .profiling import PerformanceMonitor, benchmark_fn, profile_trace
 from .config import configure_cpu_precision, env_flag
+from .checkpoint import CheckpointManager, load_checkpoint, save_checkpoint
 from .features import (
     check_dependencies,
     get_available_features,
@@ -12,6 +13,9 @@ from .features import (
 )
 
 __all__ = [
+    "CheckpointManager",
+    "save_checkpoint",
+    "load_checkpoint",
     "PerformanceMonitor",
     "benchmark_fn",
     "profile_trace",
