@@ -103,6 +103,37 @@ def run(quick: bool = False):
         time_fn(f"ik_batch_{Bik}", lambda: ikb(targets, guesses), items_per_call=Bik, iters=3)
     )
 
+    # --- Receding-horizon MPC, Panda 7-DoF, H=50 (BASELINE config #3:
+    # "H=50 MPC solves ... within a 10 ms budget"). Measures one warm-started
+    # solve (latency) and a vmapped scenario batch (solves/s/chip).
+    from manipulapy_tpu.mpc import ILQRParams, ilqr, make_step_fn, make_tracking_costs
+
+    panda = catalog.panda(dtype=jnp.float32)
+    np_ = panda.num_joints
+    params = ILQRParams(horizon=50, dt=0.01, iterations=4, line_search_steps=6)
+    step_fn = make_step_fn(panda, params.dt)
+    q_goal = jnp.asarray([0.3, -0.4, 0.2, -1.6, 0.1, 1.4, 0.4], jnp.float32)
+    running, terminal = make_tracking_costs(panda, q_goal)
+
+    def solve(x0, us):
+        return ilqr(
+            step_fn, running, terminal, x0, us, params,
+            u_min=-panda.torque_limit, u_max=panda.torque_limit,
+        ).us
+
+    x0 = jnp.zeros(2 * np_, jnp.float32)
+    us0 = jnp.zeros((50, np_), jnp.float32)
+    single = jax.jit(solve)
+    timings.append(time_fn("mpc_panda_H50_single", lambda: single(x0, us0), items_per_call=1))
+
+    Bm = 64 if quick else 256
+    x0b = jnp.zeros((Bm, 2 * np_), jnp.float32)
+    us0b = jnp.zeros((Bm, 50, np_), jnp.float32)
+    batched = jax.jit(jax.vmap(solve))
+    timings.append(
+        time_fn(f"mpc_panda_H50_batch_{Bm}", lambda: batched(x0b, us0b), items_per_call=Bm, iters=3)
+    )
+
     return timings
 
 
