@@ -32,6 +32,9 @@ __all__ = [
     "repulsive_potential",
     "potential_gradient",
     "cartesian_potential_field",
+    "PotentialField",
+    "build_link_adjacency",
+    "CollisionChecker",
     "LinkSpheres",
     "default_link_spheres",
     "link_positions",
@@ -242,3 +245,220 @@ def apply_collision_avoidance(
         return jax.lax.fori_loop(0, max_steps, body, q)
 
     return jax.vmap(fix_one)(trajectory)
+
+
+# -- Class facades (reference-compatible surface) -----------------------------
+
+
+class PotentialField:
+    """Stateful facade over the pure potential functions, matching the
+    reference's class surface (``potential_field.py:65-153``). The pure
+    functions above remain the jit/vmap-friendly API; this wrapper exists
+    so reference users find the same entry points.
+    """
+
+    def __init__(
+        self,
+        attractive_gain: float = 1.0,
+        repulsive_gain: float = 1.0,
+        influence_distance: float = 0.5,
+    ):
+        self.attractive_gain = float(attractive_gain)
+        self.repulsive_gain = float(repulsive_gain)
+        self.influence_distance = float(influence_distance)
+
+    def compute_attractive_potential(self, q, q_goal):
+        """``1/2 k_att ||q - q_goal||^2`` (``potential_field.py:86-92``)."""
+        return attractive_potential(
+            jnp.asarray(q).reshape(-1), jnp.asarray(q_goal).reshape(-1), self.attractive_gain
+        )
+
+    def compute_repulsive_potential(self, q, obstacles):
+        """``20 k_rep sum (1/d - 1/d0)^2`` (``potential_field.py:94-110``)."""
+        obstacles = jnp.atleast_2d(jnp.asarray(obstacles))
+        return repulsive_potential(
+            jnp.asarray(q).reshape(-1),
+            obstacles,
+            self.repulsive_gain,
+            self.influence_distance,
+        )
+
+    def compute_gradient(self, q, q_goal, obstacles=None):
+        """Analytic total-potential gradient with sign-corrected repulsion
+        and exact-overlap escape (``potential_field.py:112-153``)."""
+        obs = None
+        if obstacles is not None:
+            obs = jnp.atleast_2d(jnp.asarray(obstacles))
+        return potential_gradient(
+            jnp.asarray(q).reshape(-1),
+            jnp.asarray(q_goal).reshape(-1),
+            obs,
+            self.attractive_gain,
+            self.repulsive_gain,
+            self.influence_distance,
+        )
+
+
+def build_link_adjacency(urdf) -> dict:
+    """Allowed-collision sets from URDF connectivity: each link may touch
+    itself, its parent/children, and grandparent/grandchildren (reference
+    ``build_link_adjacency``, ``potential_field.py:41-62``).
+
+    Returns ``{link_name: set_of_allowed_link_names}``.
+    """
+    allowed = {link.name: {link.name} for link in urdf.links}
+    parent_of = {}
+    for j in urdf.joints:
+        if j.parent and j.child:
+            parent_of[j.child] = j.parent
+            allowed[j.parent].add(j.child)
+            allowed[j.child].add(j.parent)
+    for child, parent in parent_of.items():
+        grand = parent_of.get(parent)
+        if grand is not None:
+            allowed[child].add(grand)
+            allowed[grand].add(child)
+    return allowed
+
+
+class CollisionChecker:
+    """Self-collision checker over the URDF's *actual* collision geometry
+    (behaviour of the reference ``CollisionChecker``,
+    ``potential_field.py:156-347``): per-link convex point sets from the
+    collision geometry (visual fallback with a one-shot warning), the
+    ``<origin>`` transform applied, multi-geometry links aggregated, and
+    a pairwise AABB overlap test gated by the allowed-collision matrix.
+
+    For jit/vmap-able collision costs use the sphere-based functions
+    above; this class is the host-side exact-geometry oracle.
+    """
+
+    #: vertex budget per link; meshes are reduced to their convex hull and
+    #: then subsampled to at most this many points.
+    MAX_POINTS_PER_LINK = 256
+
+    def __init__(self, urdf, use_visual_fallback: bool = True):
+        self.urdf = urdf
+        self.use_visual_fallback = use_visual_fallback
+        self.allowed = build_link_adjacency(urdf)
+        self._warned_visual = set()
+        self.link_points = self._build_link_points()
+
+    # -- geometry -> point sets ------------------------------------------
+
+    def _warn_visual_fallback_once(self, link_name: str) -> None:
+        if link_name not in self._warned_visual:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "link %r has no collision geometry; using visual geometry",
+                link_name,
+            )
+            self._warned_visual.add(link_name)
+
+    def _geometry_points(self, geometry) -> Optional[jnp.ndarray]:
+        import numpy as np
+
+        from .urdf import geometry as geom
+        from .urdf.types import Box, Cylinder, Mesh, Sphere
+
+        if isinstance(geometry, Box):
+            s = np.asarray(geometry.size, dtype=np.float64) / 2.0
+            corners = np.array(
+                [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+                dtype=np.float64,
+            )
+            return corners * s
+        if isinstance(geometry, Sphere):
+            r = float(geometry.radius)
+            return r * np.array(
+                [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+                dtype=np.float64,
+            )
+        if isinstance(geometry, Cylinder):
+            r, h = float(geometry.radius), float(geometry.length) / 2.0
+            ang = np.linspace(0.0, 2.0 * np.pi, 8, endpoint=False)
+            ring = np.stack([r * np.cos(ang), r * np.sin(ang)], axis=1)
+            top = np.concatenate([ring, np.full((8, 1), h)], axis=1)
+            bot = np.concatenate([ring, np.full((8, 1), -h)], axis=1)
+            return np.concatenate([top, bot], axis=0)
+        if isinstance(geometry, Mesh):
+            try:
+                mesh = geom.load_mesh(geometry.filename, scale=geometry.scale)
+            except Exception:
+                return None
+            pts = np.asarray(mesh.vertices, dtype=np.float64)
+            if pts.shape[0] > self.MAX_POINTS_PER_LINK:
+                try:
+                    from scipy.spatial import ConvexHull
+
+                    pts = pts[ConvexHull(pts).vertices]
+                except Exception:
+                    pass
+                if pts.shape[0] > self.MAX_POINTS_PER_LINK:
+                    idx = np.linspace(0, pts.shape[0] - 1, self.MAX_POINTS_PER_LINK).astype(int)
+                    pts = pts[idx]
+            return pts
+        return None
+
+    def _build_link_points(self) -> dict:
+        """{link_name: (P, 3) local-frame points} for links with geometry."""
+        import numpy as np
+
+        out = {}
+        for link in self.urdf.links:
+            elements = link.collisions
+            if not elements and self.use_visual_fallback and link.visuals:
+                self._warn_visual_fallback_once(link.name)
+                elements = link.visuals
+            pieces = []
+            for el in elements:
+                pts = self._geometry_points(el.geometry)
+                if pts is None or len(pts) == 0:
+                    continue
+                T = el.origin.matrix
+                pieces.append(pts @ T[:3, :3].T + T[:3, 3])
+            if pieces:
+                out[link.name] = np.concatenate(pieces, axis=0)
+        return out
+
+    # -- queries ----------------------------------------------------------
+
+    @staticmethod
+    def _aabb(points) -> tuple:
+        return points.min(axis=0), points.max(axis=0)
+
+    def check_collision(self, thetalist) -> bool:
+        """True if any non-allowed link pair's world AABBs overlap at
+        configuration ``thetalist`` (reference ``check_collision``,
+        ``potential_field.py:284-330``; the AABB test is the reference's
+        own documented conservative placeholder, ``ARCHITECTURE.md:84-85``).
+        """
+        return len(self.colliding_pairs(thetalist)) > 0
+
+    def colliding_pairs(self, thetalist) -> list:
+        import numpy as np
+
+        thetalist = np.asarray(thetalist, dtype=np.float64).reshape(-1)
+        cfg = {
+            j.name: float(v)
+            for j, v in zip(self.urdf.actuated_joints, thetalist)
+        }
+        fk = self.urdf.link_fk(cfg)
+        boxes = {}
+        for name, pts in self.link_points.items():
+            T = fk.get(name)
+            if T is None:
+                continue
+            world = pts @ T[:3, :3].T + T[:3, 3]
+            boxes[name] = self._aabb(world)
+        names = sorted(boxes)
+        hits = []
+        for i, a in enumerate(names):
+            for b in names[i + 1 :]:
+                if b in self.allowed.get(a, ()):
+                    continue
+                (amin, amax), (bmin, bmax) = boxes[a], boxes[b]
+                if bool((amin <= bmax).all() and (bmin <= amax).all()):
+                    hits.append((a, b))
+        return hits

@@ -154,3 +154,105 @@ class TestSingularity:
         s = jax.vmap(lambda q: sing.singularity_measure(ur5, q))(qs)
         assert s.shape == (16,)
         assert np.all(np.asarray(s) >= 0)
+
+
+class TestClassFacades:
+    """Reference-surface facades: PotentialField / build_link_adjacency /
+    CollisionChecker (reference ``potential_field.py:41-347``)."""
+
+    URDF_3LINK = """
+    <robot name="boxes">
+      <link name="base">
+        <collision><geometry><box size="0.2 0.2 0.2"/></geometry></collision>
+      </link>
+      <link name="mid">
+        <collision>
+          <origin xyz="0.25 0 0"/>
+          <geometry><box size="0.5 0.1 0.1"/></geometry>
+        </collision>
+      </link>
+      <link name="tip">
+        <visual>
+          <origin xyz="0.25 0 0"/>
+          <geometry><box size="0.5 0.1 0.1"/></geometry>
+        </visual>
+      </link>
+      <joint name="j1" type="revolute">
+        <parent link="base"/><child link="mid"/>
+        <axis xyz="0 0 1"/>
+        <limit lower="-3.14" upper="3.14" effort="10" velocity="1"/>
+      </joint>
+      <joint name="j2" type="revolute">
+        <parent link="mid"/><child link="tip"/>
+        <origin xyz="0.5 0 0"/>
+        <axis xyz="0 0 1"/>
+        <limit lower="-3.14" upper="3.14" effort="10" velocity="1"/>
+      </joint>
+    </robot>
+    """
+
+    def test_potential_field_facade_matches_pure_functions(self):
+        field = pf.PotentialField(attractive_gain=2.0, repulsive_gain=1.5, influence_distance=0.4)
+        q = jnp.array([0.3, -0.2, 0.5])
+        qg = jnp.array([0.0, 0.1, 0.4])
+        obs = jnp.array([[0.35, -0.15, 0.55]])
+        np.testing.assert_allclose(
+            field.compute_attractive_potential(q, qg),
+            pf.attractive_potential(q, qg, 2.0),
+        )
+        np.testing.assert_allclose(
+            field.compute_repulsive_potential(q, obs),
+            pf.repulsive_potential(q, obs, 1.5, 0.4),
+        )
+        np.testing.assert_allclose(
+            field.compute_gradient(q, qg, obs),
+            pf.potential_gradient(q, qg, obs, 2.0, 1.5, 0.4),
+        )
+
+    def test_gradient_descends_potential(self):
+        field = pf.PotentialField(attractive_gain=1.0)
+        q = np.array([1.0, 1.0])
+        qg = np.array([0.0, 0.0])
+        g = np.asarray(field.compute_gradient(q, qg))
+        q2 = q - 0.1 * g
+        U1 = float(field.compute_attractive_potential(q, qg))
+        U2 = float(field.compute_attractive_potential(q2, qg))
+        assert U2 < U1
+
+    def test_build_link_adjacency(self):
+        from manipulapy_tpu.urdf import URDF
+
+        u = URDF.from_string(self.URDF_3LINK)
+        adj = pf.build_link_adjacency(u)
+        assert "mid" in adj["base"]          # parent/child
+        assert "tip" in adj["base"]          # grandparent
+        assert "base" in adj["tip"]
+        assert "tip" in adj["mid"]
+
+    def test_collision_checker_builds_points(self):
+        from manipulapy_tpu.urdf import URDF
+
+        u = URDF.from_string(self.URDF_3LINK)
+        checker = pf.CollisionChecker(u)
+        # base + mid have collision geometry; tip falls back to visual.
+        assert set(checker.link_points) == {"base", "mid", "tip"}
+        assert checker.link_points["base"].shape == (8, 3)
+        # mid's origin offset is applied: centroid at x=0.25.
+        assert abs(checker.link_points["mid"][:, 0].mean() - 0.25) < 1e-9
+
+    def test_collision_checker_detects_folded_configuration(self):
+        from manipulapy_tpu.urdf import URDF
+
+        u = URDF.from_string(self.URDF_3LINK)
+        checker = pf.CollisionChecker(u)
+        # Adjacent pairs are allowed and base<->tip is a grandparent pair,
+        # so the straight arm is clash-free by the ACM.
+        assert not checker.check_collision([0.0, 0.0])
+        # Fold j2 fully back: the tip box overlaps the base region, but the
+        # grandparent rule allows it -> still no hit; tighten the ACM to
+        # verify the geometric test itself fires.
+        checker.allowed["base"].discard("tip")
+        checker.allowed["tip"].discard("base")
+        assert checker.check_collision([0.0, np.pi])
+        assert ("base", "tip") in checker.colliding_pairs([0.0, np.pi])
+        assert not checker.check_collision([0.0, 0.0])
