@@ -78,6 +78,21 @@ def load_mesh(path: str, scale=None) -> TriMesh:
     return mesh
 
 
+def _try_native(loader_name: str, path: str) -> Optional[TriMesh]:
+    """Fast path through the C++ loader (``manipulapy_tpu.native``);
+    None on any failure so the caller falls back to pure Python —
+    graceful-degradation contract, SURVEY.md section 5."""
+    try:
+        from .. import native
+
+        if not native.available():
+            return None
+        verts, faces = getattr(native, loader_name)(path)
+        return TriMesh(verts, faces)
+    except Exception:
+        return None
+
+
 def load_stl(path: str) -> TriMesh:
     """Binary or ASCII STL (reference ``mesh_loader.py:80-160``).
 
@@ -85,6 +100,9 @@ def load_stl(path: str) -> TriMesh:
     declared triangle count matches the file size (ASCII files that start
     with "solid" would otherwise be misdetected).
     """
+    mesh = _try_native("load_stl", path)
+    if mesh is not None:
+        return mesh
     size = os.path.getsize(path)
     with open(path, "rb") as f:
         header = f.read(84)
@@ -127,6 +145,9 @@ def load_obj(path: str) -> TriMesh:
     ``mesh_loader.py:162-213``). Polygon faces are fan-triangulated;
     ``v/vt/vn`` index syntax is handled; negative indices resolve from
     the end per the spec."""
+    mesh = _try_native("load_obj", path)
+    if mesh is not None:
+        return mesh
     verts, faces = [], []
     with open(path, "r", encoding="utf-8", errors="replace") as f:
         for line in f:
