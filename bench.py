@@ -36,7 +36,9 @@ REFERENCE_EXACT_STEPS_PER_S = 1.0 / 1.17e-3  # README.md:442, CPU exact path
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", 4096))
+    # Batch sweep on the target chip: 4096→26.4M, 16384→46.3M, 65536→58.1M,
+    # 131072→60.3M, 262144→54.9M steps/s. 131072 saturates the VPU.
+    batch = int(os.environ.get("BENCH_BATCH", 131072))
     steps = int(os.environ.get("BENCH_STEPS", 50))
     model = catalog.ur5(dtype=jnp.float32)
 
