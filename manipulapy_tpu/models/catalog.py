@@ -238,19 +238,44 @@ def register_robot(name: str, factory: Callable[..., RobotModel]) -> None:
 
 
 def list_robots() -> List[str]:
-    from . import data
+    from . import data, robot_data
 
-    return sorted(set(_REGISTRY) | set(data.list_robots()))
+    return sorted(set(_REGISTRY) | set(data.list_robots()) | set(robot_data.list_robots()))
 
 
-def get_robot(name: str, **kwargs) -> RobotModel:
-    """Programmatic factories first; otherwise fall through to the
-    DH-table data catalog (``models/data.py``) via the URDF pipeline."""
+def get_robot(name: str, source: str = "auto", **kwargs) -> RobotModel:
+    """Resolve a robot by name.
+
+    ``source`` selects the backing data:
+
+    - ``"calibrated"`` — the vendored reference URDFs with real inertial
+      calibration (:mod:`manipulapy_tpu.models.robot_data`); torques on
+      these match the reference's exact dynamics path.
+    - ``"programmatic"`` — textbook screw-parameter factories in this
+      module (``ur5()``, ``panda()``, ...).
+    - ``"dh"`` — the DH-table generated catalog (``models/data.py``,
+      nominal rod/sphere inertias).
+    - ``"auto"`` (default) — calibrated if the name is in the calibrated
+      database, then programmatic, then DH.
+    """
     key = name.lower()
+    from . import data, robot_data
+
+    if source == "calibrated":
+        return robot_data.load_robot(key, **kwargs)
+    if source == "programmatic":
+        return _REGISTRY[key](**kwargs)
+    if source == "dh":
+        return data.load_robot(key, **kwargs)
+    if source != "auto":
+        raise ValueError(f"Unknown source {source!r}")
+    if key in robot_data.ROBOT_DATABASE:
+        try:
+            return robot_data.load_robot(key, **kwargs)
+        except FileNotFoundError:
+            pass  # vendored data absent: fall through to generated models
     if key in _REGISTRY:
         return _REGISTRY[key](**kwargs)
-    from . import data
-
     if key in data.ROBOT_SPECS:
         return data.load_robot(key, **kwargs)
     raise KeyError(f"Unknown robot {name!r}. Available: {list_robots()}")

@@ -119,6 +119,30 @@ class URDF:
         # End links: no children.
         self.end_links = [name for name in order if not children_of[name]]
 
+    def default_tip_link(self) -> str:
+        """The end link whose root chain crosses the most actuated joints
+        (ties broken by topological order).
+
+        Deterministic by construction — unlike the reference, whose default
+        tip is ``end_links[0]`` with ``end_links`` built from
+        ``list(set_difference)`` (``urdf/core.py:449``), i.e. Python
+        string-hash order, which varies per process under hash
+        randomization. It also skips zero-joint leaf frames like the ROS
+        convention ``base`` frame in ``ur5.urdf``, which the reference can
+        pick and silently produce a constant-FK 'end effector'."""
+
+        def actuated_depth(leaf: str) -> int:
+            depth, link = 0, leaf
+            while True:
+                j = self.parent_joint.get(link)
+                if j is None:
+                    return depth
+                if j.is_actuated:
+                    depth += 1
+                link = j.parent
+
+        return max(self.end_links, key=actuated_depth)
+
     @property
     def links(self) -> List[Link]:
         """All links, in parse order (reference ``URDF.links``)."""
@@ -139,7 +163,7 @@ class URDF:
 
     @property
     def end_effector_link(self) -> Link:
-        return self._links[self.end_links[0]]
+        return self._links[self.default_tip_link()]
 
     @property
     def joint_limits(self) -> List[Tuple[Optional[float], Optional[float]]]:
@@ -201,7 +225,7 @@ class URDF:
 
     def get_chain(self, tip: Optional[str] = None) -> List[str]:
         """Root -> tip link chain (``urdf/core.py:852-878``)."""
-        tip = tip or self.end_links[0]
+        tip = tip or self.default_tip_link()
         chain = [tip]
         while True:
             j = self.parent_joint.get(chain[-1])
@@ -241,7 +265,7 @@ class URDF:
             raise ValueError("No actuated joints found")
 
         fk = self.link_fk({})
-        ee_name = tip_link or self.end_links[0]
+        ee_name = tip_link or self.default_tip_link()
         if ee_name not in fk:
             raise ValueError(f"tip_link {ee_name!r} not found among links")
         M = fk[ee_name].copy()

@@ -22,8 +22,9 @@ class TestCatalogSanity:
     def test_reach_bounded(self, name):
         """No configuration may place the EE beyond the arm's total reach —
         catches screw-layout corruption that self-consistent oracle tests
-        cannot see."""
-        model = catalog.get_robot(name, dtype=jnp.float64)
+        cannot see. Pinned to the programmatic factories (the calibrated
+        URDF catalog has its own sanity tests in test_robot_data.py)."""
+        model = catalog.get_robot(name, source="programmatic", dtype=jnp.float64)
         rng = np.random.default_rng(0)
         qs = jnp.asarray(rng.uniform(-np.pi, np.pi, size=(256, model.num_joints)))
         ps = jax.vmap(lambda q: kinematics.forward_kinematics(model, q)[:3, 3])(qs)
@@ -32,7 +33,7 @@ class TestCatalogSanity:
 
     @pytest.mark.parametrize("name", ["ur5", "panda"])
     def test_screws_are_unit_revolute(self, name):
-        model = catalog.get_robot(name, dtype=jnp.float64)
+        model = catalog.get_robot(name, source="programmatic", dtype=jnp.float64)
         w = np.asarray(model.screws_space)[:, :3]
         np.testing.assert_allclose(np.linalg.norm(w, axis=-1), 1.0, atol=1e-12)
 

@@ -1,0 +1,264 @@
+"""Parity tests against the REAL reference package.
+
+These tests import the actual ``ManipulaPy`` (from a checkout at
+``$MANIPULAPY_REFERENCE``, default ``/root/reference``) and compare this
+framework's outputs against its accurate dynamics path
+(``dynamics.py:313-369`` via ``urdf_processor.py:287-302``) on the
+calibrated vendored URDFs. They skip cleanly when the reference is not
+available (e.g. on CI for this repo alone).
+
+The full 28-robot × 100-state sweep lives in
+``benchmarks/reference_parity.py`` (committed artifact:
+``benchmarks/reference_parity_results.json``); here a fast subset pins the
+same gates in CI: structural extraction is exact, f64 dynamics agree to
+the reference's own FD-noise floor, f32 torques within the 1e-3 north-star
+gate, and trajectory/control sequences match.
+"""
+
+import numpy as np
+import pytest
+
+from benchmarks.refloader import load_reference
+
+pytestmark = pytest.mark.skipif(
+    load_reference() is None, reason="reference ManipulaPy package not available"
+)
+
+# Fast subset: one 6-DOF (calibration-rich), one 7-DOF, one industrial.
+ROBOTS = ["ur5", "panda", "abb_irb2400"]
+N_STATES = 10
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _numba_stub():
+    from benchmarks._numba_stub import install
+
+    install()
+
+
+@pytest.fixture(scope="module", params=ROBOTS)
+def robot_pair(request):
+    """(key, urdf_path, reference (serial, dynamics, robot_data))."""
+    from benchmarks.refloader import reference_stack
+    from manipulapy_tpu.models.robot_data import get_robot_urdf
+
+    key = request.param
+    path = get_robot_urdf(key)
+    serial, rdyn, rd, tip = reference_stack(path)
+    return key, path, serial, rdyn, rd, tip
+
+
+def test_screw_extraction_exact(robot_pair):
+    """My extract_screw_axes == reference's, bit-for-bit (VERDICT item 2:
+    'screw axes, G_list, limits match ... to 1e-10 on all robots')."""
+    from manipulapy_tpu.urdf.core import URDF
+
+    key, path, serial, rdyn, rd, tip = robot_pair
+    data = URDF.load(path).extract_screw_axes(tip_link=tip)
+    np.testing.assert_allclose(data["S_list"].T, np.asarray(rd["Slist"]), atol=1e-10)
+    np.testing.assert_allclose(data["B_list"].T, np.asarray(rd["Blist"]), atol=1e-10)
+    np.testing.assert_allclose(data["M"], np.asarray(rd["M"]), atol=1e-10)
+    np.testing.assert_allclose(
+        data["G_list"], np.stack([np.asarray(g) for g in rd["Glist"]]), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        data["Mlist_per_link"],
+        np.stack([np.asarray(m) for m in rd["Mlist_per_link"]]),
+        atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.stack([data["joint_lower"], data["joint_upper"]], axis=1),
+        np.asarray(rd["joint_limits"]),
+        atol=1e-10,
+    )
+
+
+def _states(rd, K=N_STATES, seed=0):
+    rng = np.random.default_rng(seed)
+    n = int(rd["actuated_joints_num"])
+    limits = np.asarray(rd["joint_limits"], dtype=np.float64)
+    lo = np.nan_to_num(limits[:, 0], neginf=-np.pi, posinf=np.pi)
+    hi = np.nan_to_num(limits[:, 1], neginf=-np.pi, posinf=np.pi)
+    q = rng.uniform(np.minimum(lo, hi), np.maximum(lo, hi), size=(K, n))
+    dq = rng.uniform(-1, 1, size=(K, n))
+    ddq = rng.uniform(-1, 1, size=(K, n))
+    tau = rng.uniform(-20, 20, size=(K, n))
+    ftip = rng.uniform(-10, 10, size=(K, 6))
+    return q, dq, ddq, tau, ftip
+
+
+def test_kinematics_parity_f64(robot_pair):
+    import jax.numpy as jnp
+
+    from manipulapy_tpu import kinematics as kin
+    from manipulapy_tpu.urdf.core import URDF
+
+    key, path, serial, rdyn, rd, tip = robot_pair
+    model = URDF.load(path).to_robot_model(tip_link=tip, dtype=jnp.float64)
+    q, *_ = _states(rd)
+    for qi in q:
+        np.testing.assert_allclose(
+            kin.forward_kinematics(model, jnp.asarray(qi), "space"),
+            serial.forward_kinematics(qi, frame="space"),
+            atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            kin.forward_kinematics(model, jnp.asarray(qi), "body"),
+            serial.forward_kinematics(qi, frame="body"),
+            atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            kin.jacobian(model, jnp.asarray(qi), "space"),
+            serial.jacobian(qi, frame="space"),
+            atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            kin.jacobian(model, jnp.asarray(qi), "body"),
+            serial.jacobian(qi, frame="body"),
+            atol=1e-12,
+        )
+
+
+def test_dynamics_parity_f64(robot_pair):
+    """M/c/g/invdyn/fwddyn vs the reference, f64. Tolerance 1e-6 is the
+    reference's own noise floor: its Coriolis path uses central finite
+    differences with eps=1e-6 (dynamics.py:166)."""
+    import jax.numpy as jnp
+
+    from manipulapy_tpu import dynamics as dyn
+    from manipulapy_tpu.urdf.core import URDF
+
+    key, path, serial, rdyn, rd, tip = robot_pair
+    model = URDF.load(path).to_robot_model(tip_link=tip, dtype=jnp.float64)
+    g = np.array([0.0, 0.0, -9.81])
+    q, dq, ddq, tau, ftip = _states(rd)
+    for i in range(len(q)):
+        np.testing.assert_allclose(
+            dyn.mass_matrix(model, jnp.asarray(q[i])), rdyn.mass_matrix(q[i]), atol=1e-10
+        )
+        np.testing.assert_allclose(
+            dyn.coriolis_forces(model, jnp.asarray(q[i]), jnp.asarray(dq[i])),
+            rdyn.velocity_quadratic_forces(q[i], dq[i]),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            dyn.gravity_forces(model, jnp.asarray(q[i]), jnp.asarray(g)),
+            rdyn.gravity_forces(q[i], g),
+            atol=1e-10,
+        )
+        tau_ref = rdyn.inverse_dynamics(q[i], dq[i], ddq[i], g, ftip[i])
+        np.testing.assert_allclose(
+            dyn.inverse_dynamics(
+                model, jnp.asarray(q[i]), jnp.asarray(dq[i]), jnp.asarray(ddq[i]),
+                jnp.asarray(g), jnp.asarray(ftip[i]),
+            ),
+            tau_ref,
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            dyn.rnea(
+                model, jnp.asarray(q[i]), jnp.asarray(dq[i]), jnp.asarray(ddq[i]),
+                jnp.asarray(g), jnp.asarray(ftip[i]),
+            ),
+            tau_ref,
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            dyn.forward_dynamics(
+                model, jnp.asarray(q[i]), jnp.asarray(dq[i]), jnp.asarray(tau[i]),
+                jnp.asarray(g), jnp.asarray(ftip[i]),
+            ),
+            rdyn.forward_dynamics(q[i], dq[i], tau[i], g, ftip[i]),
+            atol=1e-5,
+        )
+
+
+def test_torque_parity_f32_north_star(robot_pair):
+    """BASELINE.json north star: f32 torques within 1e-3 of the reference's
+    exact f64 CPU dynamics."""
+    import jax.numpy as jnp
+
+    from manipulapy_tpu import dynamics as dyn
+    from manipulapy_tpu.urdf.core import URDF
+
+    key, path, serial, rdyn, rd, tip = robot_pair
+    model = URDF.load(path).to_robot_model(tip_link=tip, dtype=jnp.float32)
+    g = np.array([0.0, 0.0, -9.81])
+    q, dq, ddq, _, ftip = _states(rd)
+    for i in range(len(q)):
+        tau_ref = rdyn.inverse_dynamics(q[i], dq[i], ddq[i], g, ftip[i])
+        tau32 = dyn.rnea(
+            model,
+            jnp.asarray(q[i], dtype=jnp.float32),
+            jnp.asarray(dq[i], dtype=jnp.float32),
+            jnp.asarray(ddq[i], dtype=jnp.float32),
+            jnp.asarray(g, dtype=jnp.float32),
+            jnp.asarray(ftip[i], dtype=jnp.float32),
+        )
+        assert np.max(np.abs(np.asarray(tau32, dtype=np.float64) - tau_ref)) <= 1e-3
+
+
+def test_trajectory_parity_vs_reference_cpu_path(robot_pair):
+    """joint_trajectory vs the reference planner's own CPU kernel path
+    (float32 by design there: cuda_kernels.py:677-712)."""
+    import jax.numpy as jnp
+
+    from ManipulaPy.path_planning import OptimizedTrajectoryPlanning
+
+    from manipulapy_tpu import trajectory as traj
+    from manipulapy_tpu.urdf.core import URDF
+
+    key, path, serial, rdyn, rd, tip = robot_pair
+    limits = np.asarray(rd["joint_limits"], dtype=np.float64)
+    lo = np.nan_to_num(limits[:, 0], neginf=-np.pi, posinf=np.pi)
+    hi = np.nan_to_num(limits[:, 1], neginf=-np.pi, posinf=np.pi)
+    planner = OptimizedTrajectoryPlanning(
+        serial, path, rdyn, [tuple(x) for x in limits], use_cuda=False
+    )
+    model = URDF.load(path).to_robot_model(tip_link=tip, dtype=jnp.float64)
+    start = (lo * 0.4 + hi * 0.6) * 0.5
+    end = (lo * 0.7 + hi * 0.3) * 0.5
+    for method in (3, 5):
+        r = planner.joint_trajectory(start, end, Tf=2.0, N=100, method=method)
+        mine = traj.joint_trajectory(model, jnp.asarray(start), jnp.asarray(end), 2.0, 100, method)
+        np.testing.assert_allclose(mine.position, r["positions"], atol=5e-6)
+        np.testing.assert_allclose(mine.velocity, r["velocities"], atol=5e-6)
+        np.testing.assert_allclose(mine.acceleration, r["accelerations"], atol=5e-6)
+
+
+def test_computed_torque_sequence_parity(robot_pair):
+    """Closed-loop 20-step computed-torque sequence vs the reference
+    controller (control.py:120-194), both controllers fed the same plant."""
+    import jax.numpy as jnp
+
+    from ManipulaPy.control import ManipulatorController
+
+    from manipulapy_tpu import control as ctl
+    from manipulapy_tpu.urdf.core import URDF
+
+    key, path, serial, rdyn, rd, tip = robot_pair
+    n = int(rd["actuated_joints_num"])
+    rng = np.random.default_rng(7)
+    g = np.array([0.0, 0.0, -9.81])
+    dt = 0.01
+    Kp, Ki, Kd = np.full(n, 50.0), np.full(n, 5.0), np.full(n, 10.0)
+    qd = rng.uniform(-0.5, 0.5, size=n)
+    q = qd + rng.uniform(-0.2, 0.2, size=n)
+    dq = np.zeros(n)
+
+    controller = ManipulatorController(rdyn)
+    model = URDF.load(path).to_robot_model(tip_link=tip, dtype=jnp.float64)
+    state = ctl.ControlState(eint=jnp.zeros(n, dtype=jnp.float64))
+    for _ in range(20):
+        tau_ref = controller.computed_torque_control(
+            qd, np.zeros(n), np.zeros(n), q, dq, g, dt, Kp, Ki, Kd
+        )
+        tau, state = ctl.computed_torque_control(
+            model, jnp.asarray(qd), jnp.zeros(n), jnp.zeros(n),
+            jnp.asarray(q), jnp.asarray(dq), jnp.asarray(g), dt,
+            jnp.asarray(Kp), jnp.asarray(Ki), jnp.asarray(Kd), state,
+        )
+        np.testing.assert_allclose(np.asarray(tau), tau_ref, atol=1e-6)
+        ddq = rdyn.forward_dynamics(q, dq, np.asarray(tau_ref), g, np.zeros(6))
+        dq = dq + ddq * dt
+        q = q + dq * dt
