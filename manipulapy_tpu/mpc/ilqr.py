@@ -40,7 +40,14 @@ __all__ = ["ILQRParams", "ILQRResult", "make_step_fn", "ilqr", "mpc_step"]
 
 
 class ILQRParams(NamedTuple):
-    """Solver configuration (static across a solve)."""
+    """Solver configuration (static across a solve).
+
+    ``unroll``: unroll factor for the sequential time scans (forward
+    rollout and Riccati backward). Single-scenario solves on TPU are
+    kernel-launch-bound (~70 us per scan step measured on v5e), so
+    unrolling trades compile time for a large latency cut; batched solves
+    are compute-bound and gain little.
+    """
 
     horizon: int
     dt: float
@@ -49,6 +56,10 @@ class ILQRParams(NamedTuple):
     reg_init: float = 1e-6
     reg_scale: float = 10.0
     reg_max: float = 1e6
+    unroll: int = 1
+    # Associative-scan Riccati (mpc/pscan.py): O(log H) sequential depth
+    # instead of H scan steps — the latency path for single solves.
+    parallel_riccati: bool = False
 
 
 class ILQRResult(NamedTuple):
@@ -102,12 +113,12 @@ def make_step_fn(model: RobotModel, dt: float, g=None, fused: bool = True) -> Ca
     return step
 
 
-def _rollout(step_fn, x0, us):
+def _rollout(step_fn, x0, us, unroll: int = 1):
     def body(x, u):
         x_next = step_fn(x, u)
         return x_next, x_next
 
-    _, xs = jax.lax.scan(body, x0, us)
+    _, xs = jax.lax.scan(body, x0, us, unroll=unroll)
     return jnp.concatenate([x0[None], xs], axis=0)
 
 
@@ -177,6 +188,13 @@ def ilqr(
         n_u = us.shape[-1]
         eye_u = jnp.eye(n_u, dtype=us.dtype)
 
+        if params.parallel_riccati:
+            from .pscan import parallel_riccati
+
+            return parallel_riccati(
+                A, B, lx, lu, lxx, luu + reg * eye_u, lux, Vx, Vxx
+            )
+
         def bstep(carry, inp):
             Vx, Vxx, dV, ok = carry
             A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
@@ -202,23 +220,32 @@ def ilqr(
 
         init = (Vx, Vxx, jnp.zeros((), dtype=us.dtype), jnp.asarray(True))
         (Vx_f, Vxx_f, dV, ok), (ks, Ks) = jax.lax.scan(
-            bstep, init, (A, B, lx, lu, lxx, luu, lux), reverse=True
+            bstep, init, (A, B, lx, lu, lxx, luu, lux), reverse=True,
+            unroll=params.unroll,
         )
         return ks, Ks, dV, ok
 
     def forward(xs, us, ks, Ks, alpha):
-        """Closed-loop rollout with step scale alpha and control clamp."""
+        """Closed-loop rollout with step scale alpha and control clamp.
 
-        def fstep(x, inp):
-            x_ref, u_ref, k_t, K_t = inp
+        The running cost is accumulated inside the same scan (one pass
+        instead of rollout-then-cost: the cost re-walk was a measured
+        ~1.4 ms of pure launch overhead per iteration on v5e)."""
+
+        def fstep(carry, inp):
+            x, acc = carry
+            x_ref, u_ref, k_t, K_t, t = inp
             u = clamp(u_ref + alpha * k_t + K_t @ (x - x_ref))
             x_next = step_fn(x, u)
-            return x_next, (x_next, u)
+            return (x_next, acc + cost_fn(x, u, t)), (x_next, u)
 
         x0_ = xs[0]
-        _, (xs_new_tail, us_new) = jax.lax.scan(fstep, x0_, (xs[:-1], us, ks, Ks))
+        (x_last, run_cost), (xs_new_tail, us_new) = jax.lax.scan(
+            fstep, (x0_, jnp.zeros((), dtype=us.dtype)), (xs[:-1], us, ks, Ks, ts),
+            unroll=params.unroll,
+        )
         xs_new = jnp.concatenate([x0_[None], xs_new_tail], axis=0)
-        return xs_new, us_new
+        return xs_new, us_new, run_cost + final_cost_fn(x_last)
 
     alphas = 0.5 ** jnp.arange(params.line_search_steps, dtype=us_init.dtype)
 
@@ -232,8 +259,9 @@ def ilqr(
         # small-n solve on TPU is sequential kernel latency, not FLOPs).
         # Selection keeps the first-improving-alpha semantics of a
         # backtracking search.
-        xs_all, us_all = jax.vmap(lambda a: forward(xs, us, ks, Ks, a))(alphas)
-        costs_all = jax.vmap(total_cost)(xs_all, us_all)
+        xs_all, us_all, costs_all = jax.vmap(
+            lambda a: forward(xs, us, ks, Ks, a)
+        )(alphas)
         improving = jnp.logical_and(jnp.isfinite(costs_all), costs_all < cost)
         idx = jnp.argmax(improving)  # first True (alphas are ordered large->small)
         improved = jnp.any(improving)
@@ -255,7 +283,7 @@ def ilqr(
         return (xs_out, us_out, cost_out, reg_new, Ks_out, jnp.logical_or(done, converged)), None
 
     us0 = clamp(us_init)
-    xs0 = _rollout(step_fn, x0, us0)
+    xs0 = _rollout(step_fn, x0, us0, unroll=params.unroll)
     cost0 = total_cost(xs0, us0)
     n_x = x0.shape[0]
     n_u = us_init.shape[-1]

@@ -260,6 +260,40 @@ def build_bias_mass_fn(model: RobotModel, g=(0.0, 0.0, -9.81)):
     return fn
 
 
+def build_fd_step_planes(
+    model: RobotModel,
+    dt: float,
+    g=(0.0, 0.0, -9.81),
+    clip_limits: bool = True,
+    clip_velocity: bool = True,
+):
+    """Layout-agnostic variant of :func:`build_fd_step` over per-joint
+    'planes': ``step(q_list, dq_list, tau_list) -> (q', dq', ddq)`` where
+    each list holds ``n`` same-shaped arrays (any shape — (B,), (8, 128)
+    Pallas tiles, scalars). This is the form the Pallas rollout kernel
+    (``ops/pallas_rollout.py``) consumes directly; limits are applied as
+    per-joint Python-float constants so no array constants are captured.
+    """
+    S_np, Mc_np, G_np, lower, upper, vel_lim = _np_model(model)
+    n, dynamics_of = _emit_dynamics(model, g)
+
+    def step(q_vals, dq_vals, tau_vals):
+        M, bias = dynamics_of(q_vals, dq_vals)
+        rhs = [cg.sub(tau_vals[i], bias[i]) for i in range(n)]
+        ddq_vals = _chol_solve_values(M, rhs)
+        dq_new = [dq_vals[i] + ddq_vals[i] * dt for i in range(n)]
+        q_new = [q_vals[i] + dq_new[i] * dt for i in range(n)]
+        if clip_limits:
+            for i in range(n):
+                if np.isfinite(lower[i]) or np.isfinite(upper[i]):
+                    q_new[i] = jnp.clip(q_new[i], float(lower[i]), float(upper[i]))
+                if clip_velocity and np.isfinite(vel_lim[i]):
+                    dq_new[i] = jnp.clip(dq_new[i], -float(vel_lim[i]), float(vel_lim[i]))
+        return q_new, dq_new, ddq_vals
+
+    return n, step
+
+
 def build_fd_step(
     model: RobotModel,
     dt: float,
@@ -277,28 +311,19 @@ def build_fd_step(
     only (``mpc/ilqr.py:make_step_fn``), and hard velocity clamps kill
     the gradients the solver needs.
     """
-    S_np, Mc_np, G_np, lower, upper, vel_lim = _np_model(model)
-    n, dynamics_of = _emit_dynamics(model, g)
-    lower_j = jnp.asarray(lower, dtype=model.dtype)
-    upper_j = jnp.asarray(upper, dtype=model.dtype)
-    vel_j = jnp.asarray(vel_lim, dtype=model.dtype)
-    has_vel_limit = bool(np.isfinite(vel_lim).any())
-    has_pos_limit = bool(np.isfinite(lower).any() or np.isfinite(upper).any())
+    n, step_planes = build_fd_step_planes(
+        model, dt, g=g, clip_limits=clip_limits, clip_velocity=clip_velocity
+    )
 
     def step(q: jnp.ndarray, dq: jnp.ndarray, tau: jnp.ndarray):
-        q_vals = [q[..., i] for i in range(n)]
-        dq_vals = [dq[..., i] for i in range(n)]
-        M, bias = dynamics_of(q_vals, dq_vals)
-        rhs = [tau[..., i] - bias[i] for i in range(n)]
-        ddq_vals = _chol_solve_values(M, rhs)
-        ddq = jnp.stack(ddq_vals, axis=-1)
-        dq_new = dq + ddq * dt
-        q_new = q + dq_new * dt
-        if clip_limits and has_pos_limit:
-            q_new = jnp.clip(q_new, lower_j, upper_j)
-        if clip_limits and clip_velocity and has_vel_limit:
-            dq_new = jnp.clip(dq_new, -vel_j, vel_j)
-        return q_new, dq_new, ddq
+        q_new, dq_new, ddq_vals = step_planes(
+            [q[..., i] for i in range(n)],
+            [dq[..., i] for i in range(n)],
+            [tau[..., i] for i in range(n)],
+        )
+        shape = q[..., 0].shape
+        bc = lambda vals: jnp.stack([jnp.broadcast_to(v, shape) for v in vals], axis=-1)
+        return bc(q_new), bc(dq_new), bc(ddq_vals)
 
     return step
 

@@ -277,7 +277,7 @@ def fleet_mpc_round(
     S = x0.shape[1]
     n_dev = mesh.devices.size
     if S % n_dev != 0:
-        raise ValueError(f"scenario count {S} must divide mesh size {n_dev}")
+        raise ValueError(f"scenario count {S} must be divisible by the mesh size {n_dev}")
 
     fleet_r = Fleet(model=replicate_model(fleet.model, mesh), mask=replicate_model(fleet.mask, mesh))
     sh = NamedSharding(mesh, P(None, axis_name))

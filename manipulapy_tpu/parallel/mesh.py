@@ -147,12 +147,11 @@ def distributed_ik(model, mesh: Mesh, targets: jnp.ndarray, guesses: jnp.ndarray
 
 
 def scaling_efficiency(times_by_devices: dict) -> dict:
-    """Throughput-scaling report: eff(n) = T(1) / (n * T(n)) for equal
-    per-device work (weak scaling). BASELINE target: >= 0.8 at 2+ hosts."""
+    """Weak-scaling report: eff(n) = T(1) / T(n) where every entry keeps
+    the per-device work constant (so ideal scaling holds T(n) = T(1) and
+    eff = 1.0). BASELINE target: >= 0.8 at 2+ hosts. For strong scaling
+    (fixed total work), divide the measured times by n before calling."""
     if 1 not in times_by_devices:
         raise ValueError("need a 1-device baseline time")
     t1 = times_by_devices[1]
-    return {
-        n: (t1 / t) / 1.0 if n == 1 else t1 / t
-        for n, t in times_by_devices.items()
-    }
+    return {n: t1 / t for n, t in times_by_devices.items()}

@@ -115,6 +115,21 @@ def cartesian_potential_field(
     Returns:
         (potential, gradient): shapes (...,) and (..., 3).
     """
+    # Compiled-Pallas dispatch above the launch-overhead floor (TPU, f32;
+    # see ops/dispatch.py and benchmarks/kernel_bakeoff_results.json).
+    from .ops import dispatch as _dispatch
+
+    P = 1
+    for d in positions.shape[:-1]:
+        P *= d
+    if positions.dtype == jnp.float32 and _dispatch.pallas_wanted(P):
+        from .ops.pallas_kernels import cartesian_potential_pallas
+
+        U, grad = cartesian_potential_pallas(
+            positions.reshape(P, 3), goal, obstacles, float(influence_distance)
+        )
+        return U.reshape(positions.shape[:-1]), grad.reshape(positions.shape)
+
     dp = positions - goal
     U = 0.5 * jnp.sum(dp * dp, axis=-1)
     grad = dp

@@ -149,17 +149,24 @@ class Simulation:
         self.time += self.dt
         self.history.append((self.time, np.asarray(self.q), np.asarray(self.dq)))
 
-    def run_trajectory(self, joint_trajectory, settle_steps: int = 100) -> np.ndarray:
+    def run_trajectory(
+        self,
+        joint_trajectory,
+        settle_steps: int = 100,
+        Kp: float = 100.0,
+        Kd: float = 20.0,
+    ) -> np.ndarray:
         """Replay a (N, n) joint trajectory with gravity-compensated PD
         tracking, then hold the final waypoint for ``settle_steps`` (the
         role PyBullet's per-step position control plays in the reference,
-        ``sim.py:697-732``); returns the final EE position."""
+        ``sim.py:697-732``); returns the final EE position.
+
+        Mass-scaled (computed-torque) PD: closed loop is q'' = Kp e - Kd dq
+        regardless of the robot's inertia, so the default gains are stable
+        and critically damped (Kd = 2 sqrt(Kp)) for every model — the
+        reference exposes its control config the same way
+        (``sim.py:322-333``)."""
         traj = np.asarray(joint_trajectory)
-        # Mass-scaled (computed-torque) PD: closed loop is q'' = Kp e - Kd dq
-        # regardless of the robot's inertia, so the same gains are stable
-        # and critically damped (Kd = 2 sqrt(Kp)) for every model — fixed
-        # joint-space gains blow up on low-inertia arms.
-        Kp, Kd = 100.0, 20.0
         waypoints = list(traj) + [traj[-1]] * settle_steps
         for q_des in waypoints:
             q_des_j = jnp.asarray(q_des, dtype=self.model.dtype)

@@ -169,9 +169,11 @@ class URDF:
     def joint_limits(self) -> List[Tuple[Optional[float], Optional[float]]]:
         out = []
         for j in self.actuated_joints:
-            if j.joint_type == JointType.CONTINUOUS or j.limit is None:
+            if j.limit is None:
                 out.append((None, None))
             else:
+                # Explicit lower/upper are honored even on continuous
+                # joints (jaco-style URDFs; reference urdf/core.py:389-398).
                 out.append((j.limit.lower, j.limit.upper))
         return out
 
@@ -303,7 +305,12 @@ class URDF:
                 Mcom[i] = child_T
                 G_list[i] = np.eye(6)
 
-            if joint.limit is not None and joint.joint_type != JointType.CONTINUOUS:
+            # Position limits: honor explicit lower/upper whenever the URDF
+            # provides them — including on continuous joints (e.g. the jaco
+            # URDFs carry +-2pi on continuous joints, and the reference
+            # respects them, ``urdf/core.py:389-398``). A continuous joint
+            # with an effort/velocity-only <limit> stays unbounded.
+            if joint.limit is not None:
                 if joint.limit.lower is not None:
                     lower[i] = joint.limit.lower
                 if joint.limit.upper is not None:

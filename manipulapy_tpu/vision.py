@@ -110,6 +110,63 @@ class Vision:
         self._stereo_maps = None
         self._yolo = None
 
+    # -- simulator capture -----------------------------------------------------
+
+    def capture_image(
+        self,
+        camera_index: int = 0,
+        target=(0.0, 0.0, 0.5),
+        up=(0.0, 0.0, 1.0),
+        pb_module=None,
+    ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+        """RGB + *metric* depth from a PyBullet virtual camera (reference
+        ``vision.py:616-655``).
+
+        The camera eye comes from this camera's extrinsic translation; the
+        projection from its intrinsics/near/far. The PyBullet depth buffer
+        is normalized [0, 1]; it is mapped to metres with the reference's
+        linear scaling ``near + (far - near) * buf`` so downstream
+        unprojection (``detect_obstacles``) sees real distances.
+
+        Returns (None, None) when the camera index is unknown — the
+        reference's soft-failure contract. Raises ImportError without
+        pybullet (optional-dep gating, reference ``sim.py:84-97``).
+        ``pb_module`` injects a fake client for tests.
+        """
+        if not 0 <= camera_index < len(self.cameras):
+            return None, None
+        if pb_module is None:
+            if importlib.util.find_spec("pybullet") is None:
+                raise ImportError(
+                    "PyBullet is not installed; capture_image needs the "
+                    "'simulation' extra (or pass rgb/depth to "
+                    "detect_obstacles directly)."
+                )
+            import pybullet as pb_module  # pragma: no cover - optional dep
+
+        cam = self.cameras[camera_index]
+        eye = np.asarray(cam.extrinsic, dtype=np.float64)[:3, 3]
+        view = pb_module.computeViewMatrix(
+            cameraEyePosition=[float(x) for x in eye],
+            cameraTargetPosition=[float(x) for x in target],
+            cameraUpVector=[float(x) for x in up],
+        )
+        fov_deg = float(np.degrees(2.0 * np.arctan2(cam.height / 2.0, cam.fy)))
+        proj = pb_module.computeProjectionMatrixFOV(
+            fov=fov_deg,
+            aspect=cam.width / float(cam.height),
+            nearVal=cam.near,
+            farVal=cam.far,
+        )
+        out = pb_module.getCameraImage(
+            cam.width, cam.height, viewMatrix=view, projectionMatrix=proj
+        )
+        rgba, depth_buf = out[2], out[3]
+        rgb = np.asarray(rgba, dtype=np.uint8).reshape(cam.height, cam.width, -1)[:, :, :3]
+        depth = np.asarray(depth_buf, dtype=np.float32).reshape(cam.height, cam.width)
+        depth = cam.near + (cam.far - cam.near) * depth
+        return rgb, depth
+
     # -- detection -----------------------------------------------------------
 
     def _ensure_yolo(self, model_name: str = "yolov8n.pt"):

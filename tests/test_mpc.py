@@ -148,3 +148,95 @@ class TestMPCLoop:
             x = step(x, u)
         np.testing.assert_allclose(np.asarray(x[:2]), np.asarray(q_goal), atol=0.05)
         assert np.abs(np.asarray(x[2:])).max() < 0.2
+
+
+class TestParallelRiccati:
+    """Associative-scan Riccati (mpc/pscan.py) vs the sequential sweep."""
+
+    def _lqr_problem(self, H=20, nx=6, nu=3, seed=0, dtype=jnp.float64):
+        rng = np.random.default_rng(seed)
+        A = jnp.asarray(np.eye(nx) + 0.01 * rng.standard_normal((H, nx, nx)), dtype)
+        B = jnp.asarray(0.1 * rng.standard_normal((H, nx, nu)), dtype)
+        lx = jnp.asarray(rng.standard_normal((H, nx)), dtype)
+        lu = jnp.asarray(rng.standard_normal((H, nu)), dtype)
+        W = rng.standard_normal((H, nx, nx))
+        lxx = jnp.asarray(np.eye(nx) + 0.1 * (W @ W.transpose(0, 2, 1)), dtype)
+        Wu = rng.standard_normal((H, nu, nu))
+        luu = jnp.asarray(np.eye(nu) + 0.1 * (Wu @ Wu.transpose(0, 2, 1)), dtype)
+        lux = jnp.asarray(0.05 * rng.standard_normal((H, nu, nx)), dtype)
+        Vx_T = jnp.asarray(rng.standard_normal(nx), dtype)
+        WT = rng.standard_normal((nx, nx))
+        Vxx_T = jnp.asarray(np.eye(nx) + 0.1 * (WT @ WT.T), dtype)
+        return A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T
+
+    def _sequential(self, A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T):
+        from manipulapy_tpu.ops.smallinalg import (
+            chol_factor_small,
+            chol_solve_small,
+            chol_solve_small_mat,
+        )
+
+        def bstep(carry, inp):
+            Vx, Vxx = carry
+            A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
+            Qx = lx_t + A_t.T @ Vx
+            Qu = lu_t + B_t.T @ Vx
+            Qxx = lxx_t + A_t.T @ Vxx @ A_t
+            Quu = luu_t + B_t.T @ Vxx @ B_t
+            Qux = lux_t + B_t.T @ Vxx @ A_t
+            L = chol_factor_small(Quu)
+            k = -chol_solve_small(L, Qu)
+            K = -chol_solve_small_mat(L, Qux)
+            Vx2 = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
+            Vxx2 = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
+            return (Vx2, 0.5 * (Vxx2 + Vxx2.T)), (k, K)
+
+        (_, _), (ks, Ks) = jax.lax.scan(
+            bstep, (Vx_T, Vxx_T), (A, B, lx, lu, lxx, luu, lux), reverse=True
+        )
+        return ks, Ks
+
+    def test_matches_sequential_f64(self):
+        from manipulapy_tpu.mpc.pscan import parallel_riccati
+
+        prob = self._lqr_problem(dtype=jnp.float64)
+        ks_p, Ks_p, dV, ok = parallel_riccati(*prob)
+        ks_s, Ks_s = self._sequential(*prob)
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(ks_p), np.asarray(ks_s), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(Ks_p), np.asarray(Ks_s), atol=1e-9)
+
+    def test_matches_sequential_f32(self):
+        from manipulapy_tpu.mpc.pscan import parallel_riccati
+
+        prob = self._lqr_problem(H=50, dtype=jnp.float32)
+        ks_p, Ks_p, _, ok = parallel_riccati(*prob)
+        ks_s, Ks_s = self._sequential(*prob)
+        assert bool(ok)
+        scale = float(jnp.max(jnp.abs(ks_s))) + 1.0
+        assert float(jnp.max(jnp.abs(ks_p - ks_s))) / scale < 1e-4
+        assert float(jnp.max(jnp.abs(Ks_p - Ks_s))) < 1e-3
+
+    def test_ilqr_with_parallel_riccati_converges(self):
+        """Full iLQR on the 2-link arm, parallel backward: same solution
+        quality as the sequential solver."""
+        from manipulapy_tpu.models import catalog
+        from manipulapy_tpu.mpc import ILQRParams, ilqr, make_step_fn, make_tracking_costs
+
+        model = catalog.two_link_planar(dtype=jnp.float32)
+        step_fn = make_step_fn(model, 0.02, fused=False)
+        q_goal = jnp.asarray([0.6, -0.4], jnp.float32)
+        running, terminal = make_tracking_costs(model, q_goal)
+        x0 = jnp.zeros(4, jnp.float32)
+        us0 = jnp.zeros((30, 2), jnp.float32)
+        res_seq = ilqr(step_fn, running, terminal, x0, us0,
+                       ILQRParams(horizon=30, dt=0.02, iterations=8))
+        res_par = ilqr(step_fn, running, terminal, x0, us0,
+                       ILQRParams(horizon=30, dt=0.02, iterations=8, parallel_riccati=True))
+        assert float(res_par.cost) <= float(res_seq.cost) * 1.05 + 1e-3
+        # Same solution as the sequential backward pass (not an absolute
+        # reach gate: 8 iterations on a 30-step horizon leaves a small
+        # steady tracking offset in both solvers).
+        np.testing.assert_allclose(
+            np.asarray(res_par.xs[-1, :2]), np.asarray(res_seq.xs[-1, :2]), atol=0.02
+        )

@@ -76,3 +76,83 @@ class TestPotentialKernel:
         U, g = cartesian_potential_pallas(pts, goal, obstacles, 0.5, interpret=INTERP)
         assert float(U[0]) == pytest.approx(2.0)  # 0.5 * |p|^2
         np.testing.assert_allclose(np.asarray(g[0]), [2.0, 0.0, 0.0], atol=1e-6)
+
+
+class TestPallasRollout:
+    """Fused Pallas rollout (ops/pallas_rollout.py) vs the cgen XLA scan —
+    same emitted dynamics, so agreement is f32-roundoff-level (FMA
+    ordering differs between Mosaic and XLA fusion)."""
+
+    def _data(self, B, N):
+        from manipulapy_tpu.models import catalog
+
+        model = catalog.ur5(dtype=jnp.float32)
+        key = jax.random.PRNGKey(0)
+        k1, k2, k3 = jax.random.split(key, 3)
+        q0 = jax.random.uniform(k1, (B, 6), minval=-1, maxval=1, dtype=jnp.float32)
+        dq0 = jax.random.uniform(k2, (B, 6), minval=-0.5, maxval=0.5, dtype=jnp.float32)
+        taus = jax.random.uniform(k3, (B, N, 6), minval=-5, maxval=5, dtype=jnp.float32)
+        return model, q0, dq0, taus
+
+    def test_matches_xla_rollout(self):
+        from manipulapy_tpu.ops.fd_step import build_rollout
+        from manipulapy_tpu.ops.pallas_rollout import build_pallas_rollout
+
+        model, q0, dq0, taus = self._data(1024, 4)
+        ref = build_rollout(model, dt=0.01, intRes=1)
+        pal = build_pallas_rollout(model, dt=0.01, intRes=1, interpret=True)
+        a = ref(q0, dq0, taus)
+        b = pal(q0, dq0, taus)
+        for x, y, tol in zip(a, b, (1e-4, 1e-3, 2e-1)):
+            # ddq reaches ~1e3 on wrist joints; tolerances are relative to
+            # each quantity's scale (f32 conditioning, not a math diff).
+            assert float(jnp.max(jnp.abs(x - y))) <= tol
+
+    def test_padding_matches_unpadded(self):
+        from manipulapy_tpu.ops.pallas_rollout import build_pallas_rollout
+
+        model, q0, dq0, taus = self._data(1024, 3)
+        pal = build_pallas_rollout(model, dt=0.01, intRes=1, interpret=True)
+        full = pal(q0, dq0, taus)
+        part = pal(q0[:100], dq0[:100], taus[:100])
+        for x, y in zip(full, part):
+            np.testing.assert_allclose(np.asarray(x[:100]), np.asarray(y), atol=1e-6)
+        assert part[0].shape == (100, 3, 6)
+
+    def test_intres_substeps(self):
+        from manipulapy_tpu.ops.fd_step import build_rollout
+        from manipulapy_tpu.ops.pallas_rollout import build_pallas_rollout
+
+        model, q0, dq0, taus = self._data(1024, 2)
+        ref = build_rollout(model, dt=0.01, intRes=3)
+        pal = build_pallas_rollout(model, dt=0.01, intRes=3, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(ref(q0, dq0, taus)[0]), np.asarray(pal(q0, dq0, taus)[0]), atol=1e-4
+        )
+
+
+class TestDispatch:
+    def test_pallas_wanted_off_tpu(self):
+        from manipulapy_tpu.ops import dispatch
+
+        # CPU backend in tests: compiled Pallas never selected by default.
+        assert not dispatch.pallas_wanted(1 << 20)
+
+    def test_env_overrides(self, monkeypatch):
+        from manipulapy_tpu.ops import dispatch
+
+        monkeypatch.setenv("MANIPULAPY_TPU_FORCE_PALLAS", "1")
+        assert dispatch.pallas_wanted(1)
+        monkeypatch.setenv("MANIPULAPY_TPU_NO_PALLAS", "1")
+        assert not dispatch.pallas_wanted(1 << 20)
+
+    def test_rollout_engine_cpu_is_xla(self):
+        from manipulapy_tpu.models import catalog
+        from manipulapy_tpu.ops import dispatch
+
+        model = catalog.ur5(dtype=jnp.float32)
+        roll = dispatch.rollout_engine(model, dt=0.01)
+        q0 = jnp.zeros((8, 6), jnp.float32)
+        taus = jnp.zeros((8, 5, 6), jnp.float32)
+        qs, dqs, ddqs = roll(q0, q0, taus)
+        assert qs.shape == (8, 5, 6)

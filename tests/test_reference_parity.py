@@ -169,7 +169,9 @@ def test_dynamics_parity_f64(robot_pair):
                 jnp.asarray(g), jnp.asarray(ftip[i]),
             ),
             rdyn.forward_dynamics(q[i], dq[i], tau[i], g, ftip[i]),
-            atol=1e-5,
+            # M^{-1}-amplified reference FD-Coriolis noise; see
+            # benchmarks/reference_parity.py F64_FWD_TOL.
+            atol=5e-5,
         )
 
 
