@@ -78,8 +78,27 @@ def geometric_error(T_current: jnp.ndarray, T_target: jnp.ndarray):
 
 
 def dls_solve(J: jnp.ndarray, V_err: jnp.ndarray, damping) -> jnp.ndarray:
-    """SVD-damped least-squares step ``dq = V diag(s/(s^2+l^2)) U^T V_err``
-    (reference ``svd_robust_solve``, ``kinematics.py:334-349``)."""
+    """Damped least-squares step — the same operator as the reference's
+    SVD form (``svd_robust_solve``, ``kinematics.py:334-349``) computed
+    without the SVD: for ``J = U S V^T``,
+
+        J^T (J J^T + l^2 I)^{-1} = V diag(s / (s^2 + l^2)) U^T
+
+    exactly, so the 6x6 SPD solve (scalar-unrolled Cholesky,
+    ``ops/smallinalg.py``) replaces the SVD. On TPU the small iterative
+    SVD was the dominant cost of the whole IK loop (it lowers to many
+    tiny kernels); the unrolled solve is a handful of fused VPU ops.
+    """
+    from .ops.smallinalg import solve_spd_small
+
+    m = J.shape[-2]
+    JJt = J @ J.T + (damping * damping + 1e-12) * jnp.eye(m, dtype=J.dtype)
+    return J.T @ solve_spd_small(JJt, V_err)
+
+
+def dls_solve_svd(J: jnp.ndarray, V_err: jnp.ndarray, damping) -> jnp.ndarray:
+    """Explicit-SVD variant (kept for parity experiments and for callers
+    that also want the singular values)."""
     U, s, Vt = jnp.linalg.svd(J, full_matrices=False)
     s_damped = s / (s * s + damping * damping + 1e-12)
     return Vt.T @ (s_damped * (U.T @ V_err))

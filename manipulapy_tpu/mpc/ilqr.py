@@ -237,7 +237,9 @@ def ilqr(
             x_ref, u_ref, k_t, K_t, t = inp
             u = clamp(u_ref + alpha * k_t + K_t @ (x - x_ref))
             x_next = step_fn(x, u)
-            return (x_next, acc + cost_fn(x, u, t)), (x_next, u)
+            # Cast: a cost with f64 constants must not widen the f32 carry.
+            c = jnp.asarray(cost_fn(x, u, t), dtype=acc.dtype)
+            return (x_next, acc + c), (x_next, u)
 
         x0_ = xs[0]
         (x_last, run_cost), (xs_new_tail, us_new) = jax.lax.scan(

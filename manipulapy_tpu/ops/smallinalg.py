@@ -103,3 +103,39 @@ def solve_spd_small(M: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
 def solve_spd_small_mat(M: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """``M^{-1} rhs`` for small SPD ``M`` (..., n, n) and rhs (..., n, m)."""
     return chol_solve_small_mat(chol_factor_small(M), rhs)
+
+
+def solve_general_small_mat(M: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """``M^{-1} rhs`` for a small *general* (non-symmetric) well-conditioned
+    ``M`` (..., m, m) and rhs (..., m, k), via fully unrolled LU without
+    pivoting.
+
+    Safe ONLY for matrices whose leading principal minors stay away from
+    zero — e.g. ``I + C J`` with C, J PSD (eigenvalues >= 1), the parallel-
+    Riccati combine matrices (``mpc/pscan.py``). XLA's library LU lowers
+    tiny batched solves to long sequences of dynamic-slice kernels on TPU
+    (measured ~2.8 ms for the H=50 Riccati scan); this unrolled form is a
+    single fused elementwise program.
+    """
+    m = M.shape[-1]
+    a = [[M[..., i, j] for j in range(m)] for i in range(m)]
+    x = [[rhs[..., i, j] for j in range(rhs.shape[-1])] for i in range(m)]
+    k = rhs.shape[-1]
+    # Forward elimination (in-place Doolittle, no pivoting).
+    for p in range(m):
+        inv_p = 1.0 / a[p][p]
+        for i in range(p + 1, m):
+            f = a[i][p] * inv_p
+            for j in range(p + 1, m):
+                a[i][j] = a[i][j] - f * a[p][j]
+            for j in range(k):
+                x[i][j] = x[i][j] - f * x[p][j]
+    # Back substitution.
+    for p in range(m - 1, -1, -1):
+        inv_p = 1.0 / a[p][p]
+        for j in range(k):
+            s = x[p][j]
+            for q in range(p + 1, m):
+                s = s - a[p][q] * x[q][j]
+            x[p][j] = s * inv_p
+    return jnp.stack([jnp.stack(row, axis=-1) for row in x], axis=-2)

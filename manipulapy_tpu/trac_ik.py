@@ -99,10 +99,14 @@ def sqp_ik(
         stall = jnp.where(improved, 0, s.stall + 1)
 
         J = jacobian(model, s.theta)
-        # LM step: (J^T J + reg I) dq = J^T V.
+        # LM step: (J^T J + reg I) dq = J^T V. JtJ+reg is SPD; the
+        # scalar-unrolled Cholesky avoids the library LU's tiny-kernel
+        # latency on TPU (same reasoning as ik.dls_solve).
+        from .ops.smallinalg import solve_spd_small
+
         JtJ = J.T @ J + s.reg * jnp.eye(model.num_joints, dtype=dtype)
         g = J.T @ V
-        dq = jnp.linalg.solve(JtJ, g)
+        dq = solve_spd_small(JtJ, g)
 
         cands = jax.vmap(lambda a: clip_to_limits(model, s.theta + a * dq))(scales)
         Vs, _, _ = jax.vmap(err)(cands)

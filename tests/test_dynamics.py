@@ -128,6 +128,7 @@ class TestInverseDynamics:
             )
             np.testing.assert_allclose(got[i], ref, atol=1e-6)
 
+    @pytest.mark.slow
     def test_forward_inverse_consistency(self, ur5):
         """fd(id(ddq)) == ddq — reference reports 1.8e-12."""
         rng = np.random.default_rng(7)
@@ -168,6 +169,7 @@ class TestRNEA:
         expected = np.asarray(cor_b(ur5, q, dq)) + np.asarray(grav_b(ur5, q))
         np.testing.assert_allclose(h, expected, atol=1e-9)
 
+    @pytest.mark.slow
     def test_forward_dynamics_fast(self, ur5):
         rng = np.random.default_rng(10)
         qs, dqs, _ = rand_states(rng, 4, 6)
@@ -180,6 +182,7 @@ class TestRNEA:
 
 
 class TestEnergy:
+    @pytest.mark.slow
     def test_energy_conservation(self, ur5):
         """Unforced, zero-gravity RK4 rollout conserves kinetic energy
         (reference reports 1.3e-11)."""
@@ -219,6 +222,7 @@ class TestEnergy:
 
 class TestMultiDof:
     @pytest.mark.parametrize("n", [3, 7, 9])
+    @pytest.mark.slow
     def test_consistency_across_dof(self, n):
         from manipulapy_tpu.models import catalog
 

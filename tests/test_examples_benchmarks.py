@@ -59,6 +59,7 @@ class TestBenchmarkHelpers:
         regs, prev_data = compare_to_previous(str(tmp_path / "missing.json"), {"op_ms": 1.0})
         assert regs == [] and prev_data is None
 
+    @pytest.mark.slow
     def test_quick_benchmark_accuracy_core(self):
         from benchmarks.quick_benchmark import run_accuracy_core
 
@@ -66,6 +67,7 @@ class TestBenchmarkHelpers:
         failed = {k: v for k, v in checks.items() if not v["pass"]}
         assert not failed, f"quick accuracy core failed: {failed}"
 
+    @pytest.mark.slow
     def test_accuracy_benchmark_small(self):
         from benchmarks.accuracy_benchmark import run
 

@@ -84,6 +84,7 @@ class TestStacking:
 
 
 class TestFleetRollout:
+    @pytest.mark.slow
     def test_rollout_shapes_finite(self, fleet):
         fl, _ = fleet
         R, n = fl.num_robots, fl.num_joints
@@ -100,6 +101,7 @@ class TestFleetRollout:
         assert float(jnp.max(jnp.abs(qs * pad_mask[:, None, None, :]))) == 0.0
 
 
+@pytest.mark.slow
 class TestFleetMPC:
     def test_fleet_ilqr_improves_cost(self, fleet):
         fl, _ = fleet

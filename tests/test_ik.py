@@ -52,6 +52,7 @@ class TestDLSSolve:
 
 
 class TestSolveIK:
+    @pytest.mark.slow
     def test_converges_on_reachable_targets(self, ur5):
         """FK-generated targets, perturbed warm starts: every solve must
         converge to the documented tolerances."""
@@ -84,6 +85,7 @@ class TestSolveIK:
         assert not bool(res.success)
         assert float(res.trans_err) > 1.0
 
+    @pytest.mark.slow
     def test_multi_start(self, ur5):
         rng = np.random.default_rng(3)
         q_true = jnp.asarray(rng.uniform(-1.2, 1.2, 6))

@@ -10,6 +10,7 @@ transcendental paths; see core/lie.py::_wide).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from manipulapy_tpu.core import lie
 
@@ -176,6 +177,7 @@ class TestEuler:
         )
 
 
+@pytest.mark.slow
 class TestJitGrad:
     def test_jit_compiles(self):
         f = jax.jit(lie.se3_log)

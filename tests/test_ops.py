@@ -30,6 +30,7 @@ def _batch(model, B=16, seed=0):
 
 
 class TestBiasMassParity:
+    @pytest.mark.slow
     def test_mass_and_bias_match_generic(self, ur5):
         q, dq, _ = _batch(ur5)
         fused = jax.jit(build_bias_mass_fn(ur5))
@@ -49,6 +50,7 @@ class TestBiasMassParity:
 
 
 class TestFusedStepParity:
+    @pytest.mark.slow
     def test_step_matches_generic_integrator(self, ur5):
         dt = 0.01
         q, dq, tau = _batch(ur5)
@@ -80,6 +82,7 @@ class TestFusedStepParity:
         assert q1.shape == dq1.shape == ddq.shape == (n,)
         assert np.isfinite(np.asarray(ddq)).all()
 
+    @pytest.mark.slow
     def test_f32_build(self, ur5):
         m32 = ur5.astype(jnp.float32)
         q, dq, tau = _batch(m32, B=8)
@@ -123,6 +126,7 @@ class TestBuildRollout:
     """build_rollout must reproduce forward_dynamics_trajectory exactly
     (same integrator, same clamp placement), batched and unbatched."""
 
+    @pytest.mark.slow
     def test_matches_generic_trajectory_batched(self, ur5):
         from manipulapy_tpu.ops.fd_step import build_rollout
         from manipulapy_tpu.trajectory import forward_dynamics_trajectory

@@ -78,6 +78,7 @@ class TestPotentialKernel:
         np.testing.assert_allclose(np.asarray(g[0]), [2.0, 0.0, 0.0], atol=1e-6)
 
 
+@pytest.mark.slow
 class TestPallasRollout:
     """Fused Pallas rollout (ops/pallas_rollout.py) vs the cgen XLA scan —
     same emitted dynamics, so agreement is f32-roundoff-level (FMA

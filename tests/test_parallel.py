@@ -60,6 +60,7 @@ class TestShardedCompute:
         out = parallel.sharded_vmap(forward_kinematics, mesh)(ur5_f32, qs)
         assert out.shape == (13, 4, 4)
 
+    @pytest.mark.slow
     def test_distributed_rollout(self, mesh, ur5_f32):
         B, N = 16, 5
         rng = np.random.default_rng(2)
@@ -70,6 +71,7 @@ class TestShardedCompute:
         assert qs.shape == (B, N, 6)
         assert np.all(np.isfinite(np.asarray(qs)))
 
+    @pytest.mark.slow
     def test_distributed_ik(self, mesh, ur5_f32):
         from manipulapy_tpu.kinematics import forward_kinematics
 

@@ -87,6 +87,7 @@ def _states(rd, K=N_STATES, seed=0):
     return q, dq, ddq, tau, ftip
 
 
+@pytest.mark.slow
 def test_kinematics_parity_f64(robot_pair):
     import jax.numpy as jnp
 
@@ -119,6 +120,7 @@ def test_kinematics_parity_f64(robot_pair):
         )
 
 
+@pytest.mark.slow
 def test_dynamics_parity_f64(robot_pair):
     """M/c/g/invdyn/fwddyn vs the reference, f64. Tolerance 1e-6 is the
     reference's own noise floor: its Coriolis path uses central finite
@@ -175,6 +177,7 @@ def test_dynamics_parity_f64(robot_pair):
         )
 
 
+@pytest.mark.slow
 def test_torque_parity_f32_north_star(robot_pair):
     """BASELINE.json north star: f32 torques within 1e-3 of the reference's
     exact f64 CPU dynamics."""
@@ -228,6 +231,7 @@ def test_trajectory_parity_vs_reference_cpu_path(robot_pair):
         np.testing.assert_allclose(mine.acceleration, r["accelerations"], atol=5e-6)
 
 
+@pytest.mark.slow
 def test_computed_torque_sequence_parity(robot_pair):
     """Closed-loop 20-step computed-torque sequence vs the reference
     controller (control.py:120-194), both controllers fed the same plant."""

@@ -37,6 +37,7 @@ class TestSimulation:
             sim.step(jnp.zeros(2))
         np.testing.assert_allclose(sim.get_joint_positions(), [0.5, 0.5], atol=1e-10)
 
+    @pytest.mark.slow
     def test_run_trajectory_reaches_target(self, sim):
         sim.reset()
         traj = trajectory.joint_trajectory(
@@ -48,6 +49,7 @@ class TestSimulation:
         )
         assert ee.shape == (3,)
 
+    @pytest.mark.slow
     def test_run_controller_tracks(self, sim):
         sim.reset()
         traj = trajectory.joint_trajectory(

@@ -48,6 +48,7 @@ class TestSQP:
 
 
 class TestTracIK:
+    @pytest.mark.slow
     def test_solver_succeeds(self, ur5):
         solver = TracIKSolver(ur5, timeout=2.0, num_guesses=6)
         q_true = jnp.asarray([0.5, -0.7, 0.6, 0.4, -0.3, 0.2], dtype=jnp.float64)
@@ -55,6 +56,7 @@ class TestTracIK:
         assert bool(res.success)
         assert float(res.trans_err) < 1e-6
 
+    @pytest.mark.slow
     def test_warm_start_used(self, ur5):
         solver = TracIKSolver(ur5, timeout=2.0, num_guesses=4)
         q_true = jnp.asarray([0.1, -0.4, 0.5, 0.2, -0.1, 0.3], dtype=jnp.float64)
@@ -66,6 +68,7 @@ class TestTracIK:
         res = trac_ik_solve(planar2, _target(planar2, q_true), timeout=2.0)
         assert bool(res.success)
 
+    @pytest.mark.slow
     def test_unreachable_returns_best_effort(self, planar2):
         """Timeout with an unreachable target still returns a best-effort
         IKResult (reference behavior: best tracked solution)."""
@@ -136,11 +139,13 @@ class TestSmartRobust:
         with pytest.raises(ValueError, match="Unknown IK strategy"):
             smart_ik(ur5, jnp.eye(4, dtype=jnp.float64), strategy="telepathy")
 
+    @pytest.mark.slow
     def test_robust_schedule(self, ur5):
         q_true = jnp.asarray([0.5, -0.9, 1.1, 0.2, -0.6, 0.8], dtype=jnp.float64)
         res = robust_ik(ur5, _target(ur5, q_true), max_iterations=120)
         assert bool(res.success)
 
+    @pytest.mark.slow
     def test_adaptive_multi_start_escalates(self, planar2):
         T = np.eye(4)
         T[:3, 3] = [5.0, 0.0, 0.0]  # unreachable: forces escalation
@@ -150,6 +155,7 @@ class TestSmartRobust:
         assert used == 2 + 4 + 8
         assert not bool(res.success)
 
+    @pytest.mark.slow
     def test_adaptive_multi_start_quick_on_easy(self, ur5):
         q_true = jnp.asarray([0.2, -0.4, 0.5, 0.1, -0.2, 0.3], dtype=jnp.float64)
         res, used = adaptive_multi_start_ik(

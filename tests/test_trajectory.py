@@ -170,6 +170,7 @@ class TestForwardDynamicsTrajectory:
         )
         np.testing.assert_allclose(np.asarray(qs[-1]), np.asarray(q0), atol=1e-6)
 
+    @pytest.mark.slow
     def test_round_trip_inverse_then_forward(self, ur5):
         """Torques from a planned trajectory, integrated forward, track the
         plan (reference compare_implementations-style gate)."""
