@@ -102,6 +102,87 @@ def time_fn(
     )
 
 
+def device_latency(
+    name: str,
+    chain_fn: Callable[[int], Callable[[], Any]],
+    *,
+    k_small: int = 4,
+    k_large: int = 20,
+    items_per_call: Optional[float] = None,
+    reps: int = 3,
+    **extra,
+) -> Timing:
+    """True on-device per-iteration latency via in-program repetition.
+
+    ``chain_fn(k)`` must return a jitted 0-arg callable whose program runs
+    the workload ``k`` times *sequentially with a data dependence* (e.g. a
+    ``lax.scan`` feeding each solve's output into the next solve's input)
+    and returns a scalar. Timing forces a host readback of that scalar, so
+    the fixed host<->device round trip — ~24 ms through the axon tunnel,
+    and the reason naive per-call timing is meaningless here — cancels in
+    the difference quotient (T(k_large) - T(k_small)) / (k_large - k_small).
+
+    This is the measurement the reference gets for free from
+    ``cuda.synchronize()`` on a local GPU (``cuda_kernels.py:2129-2208``);
+    on a remote-tunnelled TPU it has to be amortized explicitly.
+    """
+
+    def _readback(fn):
+        t0 = time.perf_counter()
+        jax.device_get(fn())
+        first = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.device_get(fn())
+            best = min(best, time.perf_counter() - t0)
+        return first, best
+
+    small = chain_fn(k_small)
+    large = chain_fn(k_large)
+    compile_s, t_small = _readback(small)
+    _, t_large = _readback(large)
+    per_iter = max((t_large - t_small) / (k_large - k_small), 1e-9)
+    return Timing(
+        name=name,
+        compile_s=compile_s,
+        mean_s=per_iter,
+        min_s=per_iter,
+        sustained_s=per_iter,
+        iters=k_large - k_small,
+        throughput=(items_per_call / per_iter) if items_per_call else None,
+        latency_throughput=(items_per_call / per_iter) if items_per_call else None,
+        extra={**extra, "method": "in-program difference quotient",
+               "t_small_s": t_small, "t_large_s": t_large,
+               "k_small": k_small, "k_large": k_large},
+    )
+
+
+def scalar_chain(work: Callable[[Any], Any]) -> Callable[[int], Callable[[], Any]]:
+    """Adapt a stateless workload to :func:`device_latency`'s contract.
+
+    ``work(c)`` must run the workload once and return a scalar that
+    depends on its outputs, where ``c`` is a carried f32 scalar the
+    caller should fold into an input at negligible magnitude (e.g.
+    ``q0 + 1e-12 * c``) so consecutive repetitions form a true data
+    chain XLA cannot collapse, hoist, or overlap. Returns the
+    ``chain_fn(k)`` factory device_latency expects.
+    """
+    import jax.numpy as jnp
+
+    def chain(k: int) -> Callable[[], Any]:
+        @jax.jit
+        def run():
+            def body(c, _):
+                return work(c), None
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
+            return c
+
+        return run
+
+    return chain
+
+
 def environment_info() -> Dict[str, Any]:
     return {
         "backend": jax.default_backend(),

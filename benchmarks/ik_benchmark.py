@@ -22,7 +22,7 @@ import os
 import sys
 import time
 
-from .common import setup_backend, write_artifact
+from .common import device_latency, setup_backend, write_artifact
 
 
 def run(num_targets: int = 50, seed: int = 0, robot: str = "ur5"):
@@ -94,6 +94,43 @@ def run(num_targets: int = 50, seed: int = 0, robot: str = "ur5"):
         return bool(r.success), float(r.trans_err)
 
     results.append(bench("trac_ik", _trac))
+
+    # True on-device single-solve latency: the host-loop numbers above
+    # fold the tunnelled host<->device round trip (~24 ms on this setup)
+    # plus dispatch into EVERY solve — they are what a remote caller sees,
+    # not what the chip spends. Chain solves on-device (each target warm-
+    # started from the previous solution — the servo pattern) and take the
+    # difference quotient; this is the deployment number for a co-located
+    # control loop.
+    def ik_chain(k):
+        Ts = targets[:k]
+
+        @jax.jit
+        def run_chain():
+            def body(q_guess, T):
+                r = ik_mod.solve_ik(model, T, q_guess, max_iterations=300)
+                return r.theta, r.trans_err
+            qf, errs = jax.lax.scan(body, guess0, Ts)
+            return jnp.sum(qf) + jnp.sum(errs)
+
+        return run_chain
+
+    dev = device_latency(
+        "iterative_device", ik_chain,
+        k_small=5, k_large=min(25, num_targets), items_per_call=1,
+    )
+    results.append(
+        {
+            "solver": "iterative_device_latency",
+            "success_rate": None,
+            "median_ms": dev.sustained_s * 1e3,
+            "mean_ms": dev.sustained_s * 1e3,
+            "p95_ms": None,
+            "max_pos_err": None,
+            "note": "true per-solve device time via on-device warm-started chain; "
+            "host-loop rows above include the ~24 ms tunnel round trip per call",
+        }
+    )
 
     # TPU-native batch mode: every target solved concurrently in ONE call.
     batch_fn = jax.jit(

@@ -16,10 +16,10 @@ import argparse
 import os
 import sys
 
-from .common import setup_backend, time_fn, write_artifact
+from .common import device_latency, setup_backend, time_fn, write_artifact
 
 
-def run(quick: bool = False):
+def run(quick: bool = False, only: str = ""):
     import jax
     import jax.numpy as jnp
 
@@ -33,6 +33,13 @@ def run(quick: bool = False):
     n = model.num_joints
     key = jax.random.PRNGKey(0)
     timings = []
+
+    if only:
+        if not only.startswith("mpc"):
+            raise SystemExit(f"unknown --only section: {only}")
+        part = only[4:] if only.startswith("mpc-") else ""
+        timings.extend(_run_mpc(quick, part=part))
+        return timings
 
     # --- Trajectory generation sweep (reference sweeps 100..50k points).
     traj_sizes = [1000, 10_000] if quick else [100, 1000, 10_000, 100_000]
@@ -103,37 +110,97 @@ def run(quick: bool = False):
         time_fn(f"ik_batch_{Bik}", lambda: ikb(targets, guesses), items_per_call=Bik, iters=3)
     )
 
-    # --- Receding-horizon MPC, Panda 7-DoF, H=50 (BASELINE config #3:
-    # "H=50 MPC solves ... within a 10 ms budget"). Measures one warm-started
-    # solve (latency) and a vmapped scenario batch (solves/s/chip).
-    from manipulapy_tpu.mpc import ILQRParams, ilqr, make_step_fn, make_tracking_costs
+    timings.extend(_run_mpc(quick))
+    return timings
 
+
+def _run_mpc(quick: bool = False, part: str = ""):
+    """Receding-horizon MPC, Panda 7-DoF, H=50 — BASELINE config #3:
+    "H=50 MPC solves ... within a 10 ms budget".
+
+    Latency is measured the only honest way on a tunnelled chip: as the
+    per-step cost of a RECEDING-HORIZON CHAIN run entirely on device —
+    solve -> apply first control -> advance one step -> warm-start the
+    next solve — via :func:`device_latency`'s difference quotient. This
+    is also exactly the deployment loop, so the number IS the control-
+    period budget the 10 ms gate talks about. Both the fused three-Pallas-
+    kernel solver (``mpc/fused.py``) and the generic ``ilqr`` are timed;
+    batched solves/s come from the vmapped generic solver.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from manipulapy_tpu.models import catalog
+    from manipulapy_tpu.mpc import ILQRParams, ilqr, make_step_fn, make_tracking_costs
+    from manipulapy_tpu.mpc.fused import build_tracking_mpc
+
+    timings = []
     panda = catalog.panda(dtype=jnp.float32)
     np_ = panda.num_joints
-    params = ILQRParams(horizon=50, dt=0.01, iterations=4, line_search_steps=6)
+    H = 50
+    params = ILQRParams(horizon=H, dt=0.01, iterations=4, line_search_steps=6)
     step_fn = make_step_fn(panda, params.dt)
     q_goal = jnp.asarray([0.3, -0.4, 0.2, -1.6, 0.1, 1.4, 0.4], jnp.float32)
     running, terminal = make_tracking_costs(panda, q_goal)
-
-    def solve(x0, us):
-        return ilqr(
-            step_fn, running, terminal, x0, us, params,
-            u_min=-panda.torque_limit, u_max=panda.torque_limit,
-        ).us
-
     x0 = jnp.zeros(2 * np_, jnp.float32)
-    us0 = jnp.zeros((50, np_), jnp.float32)
-    single = jax.jit(solve)
-    timings.append(time_fn("mpc_panda_H50_single", lambda: single(x0, us0), items_per_call=1))
+    us0 = jnp.zeros((H, np_), jnp.float32)
 
-    Bm = 64 if quick else 256
-    x0b = jnp.zeros((Bm, 2 * np_), jnp.float32)
-    us0b = jnp.zeros((Bm, 50, np_), jnp.float32)
-    batched = jax.jit(jax.vmap(solve))
+    fused = build_tracking_mpc(panda, q_goal, horizon=H, dt=params.dt,
+                               iterations=params.iterations,
+                               line_search_steps=params.line_search_steps)
+
+    def receding_chain(solve_us_xs):
+        """chain_fn factory: k receding-horizon steps with warm starts."""
+        def chain(k):
+            @jax.jit
+            def run():
+                def body(carry, _):
+                    x, us = carry
+                    us_new, xs = solve_us_xs(x, us)
+                    x_next = xs[1]
+                    us_warm = jnp.concatenate([us_new[1:], us_new[-1:]], axis=0)
+                    return (x_next, us_warm), None
+                (xf, _), _ = jax.lax.scan(body, (x0, us0), None, length=k)
+                return jnp.sum(xf)
+            return run
+        return chain
+
+    def fused_solve(x, us):
+        us_new, xs, _ = fused.solve(x, us)
+        return us_new, xs
+
+    def generic_solve(x, us):
+        res = ilqr(step_fn, running, terminal, x, us, params,
+                   u_min=-panda.torque_limit, u_max=panda.torque_limit)
+        return res.us, res.xs
+
+    k_small, k_large = (2, 6) if quick else (2, 10)
     timings.append(
-        time_fn(f"mpc_panda_H50_batch_{Bm}", lambda: batched(x0b, us0b), items_per_call=Bm, iters=3)
+        device_latency("mpc_panda_H50_fused_single", receding_chain(fused_solve),
+                       k_small=k_small, k_large=k_large, items_per_call=1,
+                       solver="fused-pallas", horizon=H, iterations=params.iterations)
+    )
+    timings.append(
+        device_latency("mpc_panda_H50_single", receding_chain(generic_solve),
+                       k_small=k_small, k_large=k_large, items_per_call=1,
+                       solver="generic-ilqr", horizon=H, iterations=params.iterations)
     )
 
+    # Batched throughput (solves/s/chip): large enough that per-call
+    # dispatch amortizes; one receding step per call.
+    Bm = 64 if quick else 256
+    x0b = jnp.zeros((Bm, 2 * np_), jnp.float32)
+    us0b = jnp.zeros((Bm, H, np_), jnp.float32)
+    batched = jax.jit(jax.vmap(lambda x, us: generic_solve(x, us)[0]))
+    timings.append(
+        time_fn(f"mpc_panda_H50_batch_{Bm}", lambda: batched(x0b, us0b),
+                items_per_call=Bm, iters=3)
+    )
+
+    # The north-star gate (BASELINE config #3).
+    fused_ms = timings[0].sustained_s * 1e3
+    timings[0].extra["budget_ms"] = 10.0
+    timings[0].extra["north_star_pass"] = bool(fused_ms <= 10.0)
     return timings
 
 
@@ -141,6 +208,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--quick", action="store_true")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--only", default="", help="run a single section (mpc)")
     p.add_argument(
         "--output", default=os.path.join(os.path.dirname(__file__), "performance_results.json")
     )
@@ -148,7 +216,7 @@ def main(argv=None):
 
     backend = setup_backend("cpu" if args.cpu else None)
     print(f"backend: {backend}")
-    timings = run(quick=args.quick)
+    timings = run(quick=args.quick, only=args.only)
     metrics = {}
     for t in timings:
         line = (

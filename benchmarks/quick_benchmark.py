@@ -15,7 +15,13 @@ import argparse
 import os
 import sys
 
-from .common import compare_to_previous, setup_backend, time_fn, write_artifact
+from .common import (
+    compare_to_previous,
+    device_latency,
+    scalar_chain,
+    setup_backend,
+    write_artifact,
+)
 
 
 def run_accuracy_core():
@@ -64,6 +70,15 @@ def run_accuracy_core():
 
 
 def run_perf_core():
+    """True on-device timings via in-program chained repetition.
+
+    Earlier revisions used host-fenced per-call loops (``time_fn``); on
+    the tunnelled chip those fold a fixed ~24 ms host<->device round trip
+    plus its jitter into every call, which produced the phantom 2x
+    "regressions" in the round-1 artifact (e.g. 59 ms for a 10k-point
+    quintic trajectory — that is the tunnel, not the compute). The
+    difference-quotient chain cancels it (``common.device_latency``).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -77,31 +92,46 @@ def run_perf_core():
 
     timings = []
     q0, q1 = jnp.zeros(n, jnp.float32), jnp.ones(n, jnp.float32)
+
+    def traj_work(c):
+        tr = traj.joint_trajectory(model, q0 + 1e-12 * c, q1, 2.0, 10_000, 5)
+        return jnp.sum(tr.position[-1]) + jnp.sum(tr.position[0])
+
     timings.append(
-        time_fn(
-            "joint_trajectory_N10000",
-            jax.jit(lambda: traj.joint_trajectory(model, q0, q1, 2.0, 10_000, 5)),
-            items_per_call=10_000 * n,
-            iters=5,
+        device_latency(
+            "joint_trajectory_N10000", scalar_chain(traj_work),
+            k_small=2, k_large=12, items_per_call=10_000 * n,
         )
     )
+
     B = 1024
     qs = jax.random.uniform(key, (B, n), minval=-1, maxval=1, dtype=jnp.float32)
     dqs = jnp.zeros_like(qs)
     taus = jax.random.uniform(key, (B, 50, n), minval=-10, maxval=10, dtype=jnp.float32)
-    roll = jax.jit(
-        jax.vmap(lambda q, dq, t: traj.forward_dynamics_trajectory(model, q, dq, t, dt=0.01))
-    )
+
+    def roll_work(c):
+        qmat, _, _ = jax.vmap(
+            lambda q, dq, t: traj.forward_dynamics_trajectory(model, q, dq, t, dt=0.01)
+        )(qs + 1e-12 * c, dqs, taus)
+        return jnp.sum(qmat[:, -1])
+
     timings.append(
-        time_fn("fd_rollout_B1024_N50", lambda: roll(qs, dqs, taus), items_per_call=B * 50, iters=5)
+        device_latency(
+            "fd_rollout_B1024_N50", scalar_chain(roll_work),
+            k_small=2, k_large=8, items_per_call=B * 50,
+        )
     )
-    fd = jax.jit(jax.vmap(lambda q, dq, t: dyn.forward_dynamics_fast(model, q, dq, t)))
+
+    def fd_work(c):
+        out = jax.vmap(lambda q, dq, t: dyn.forward_dynamics_fast(model, q, dq, t))(
+            qs + 1e-12 * c, dqs, taus[:, 0]
+        )
+        return jnp.sum(out)
+
     timings.append(
-        time_fn(
-            "forward_dynamics_batch_1024",
-            lambda: fd(qs, dqs, taus[:, 0]),
-            items_per_call=B,
-            iters=5,
+        device_latency(
+            "forward_dynamics_batch_1024", scalar_chain(fd_work),
+            k_small=2, k_large=12, items_per_call=B,
         )
     )
     return timings
