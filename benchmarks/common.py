@@ -138,11 +138,26 @@ def device_latency(
             best = min(best, time.perf_counter() - t0)
         return first, best
 
+    if k_large <= k_small:
+        raise ValueError(f"k_large ({k_large}) must exceed k_small ({k_small})")
     small = chain_fn(k_small)
     large = chain_fn(k_large)
     compile_s, t_small = _readback(small)
     _, t_large = _readback(large)
-    per_iter = max((t_large - t_small) / (k_large - k_small), 1e-9)
+    raw = (t_large - t_small) / (k_large - k_small)
+    # A non-positive quotient means tunnel jitter swamped the measurement —
+    # never report it as a (spuriously tiny) latency.
+    suspect = raw <= 0
+    if suspect:
+        import warnings
+
+        warnings.warn(
+            f"device_latency[{name}]: t_large ({t_large:.4f}s) <= t_small "
+            f"({t_small:.4f}s); round-trip jitter exceeded the chained work. "
+            "Reporting NaN — increase k_large or reps."
+        )
+    per_iter = float("nan") if suspect else raw
+    finite = not suspect
     return Timing(
         name=name,
         compile_s=compile_s,
@@ -150,11 +165,11 @@ def device_latency(
         min_s=per_iter,
         sustained_s=per_iter,
         iters=k_large - k_small,
-        throughput=(items_per_call / per_iter) if items_per_call else None,
-        latency_throughput=(items_per_call / per_iter) if items_per_call else None,
+        throughput=(items_per_call / per_iter) if (items_per_call and finite) else None,
+        latency_throughput=(items_per_call / per_iter) if (items_per_call and finite) else None,
         extra={**extra, "method": "in-program difference quotient",
                "t_small_s": t_small, "t_large_s": t_large,
-               "k_small": k_small, "k_large": k_large},
+               "k_small": k_small, "k_large": k_large, "suspect": suspect},
     )
 
 
@@ -181,6 +196,67 @@ def scalar_chain(work: Callable[[Any], Any]) -> Callable[[int], Callable[[], Any
         return run
 
     return chain
+
+
+def inline_chain(step: Callable[[Any], Any], init: Any) -> Callable[[int], Callable[[], Any]]:
+    """chain_fn factory for :func:`device_latency` that UNROLLS the chain
+    in Python instead of wrapping it in ``lax.scan``.
+
+    ``step(carry) -> carry`` runs the workload once; ``init`` is the first
+    carry (a pytree of arrays). The returned program folds the carry to a
+    scalar so timing forces a readback.
+
+    Why not ``scalar_chain``/``lax.scan``: scanning over a body that itself
+    contains Pallas kernels or nested scans (the fused MPC solver) blows up
+    XLA compile time unboundedly — the round-2 MPC harness never finished
+    compiling. Inline unrolling with small k (1 vs 5) compiles in seconds
+    because each repetition reuses the already-lowered inner jit.
+    """
+    import jax.numpy as jnp
+
+    def chain(k: int) -> Callable[[], Any]:
+        @jax.jit
+        def run():
+            carry = init
+            for _ in range(k):
+                carry = step(carry)
+            leaves = jax.tree_util.tree_leaves(carry)
+            return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+        return run
+
+    return chain
+
+
+def dispatch_floor(reps: int = 30) -> Dict[str, float]:
+    """Measured host<->device overheads of THIS session's tunnel: blocked
+    round-trip latency and pipelined per-dispatch throughput of a trivial
+    jitted op. Recorded in artifacts so a reader can tell how much of any
+    blocked timing is tunnel, not device (the axon tunnel's round trip has
+    been observed anywhere from 0.05 ms to ~24 ms across sessions)."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def tiny(x):
+        return x + 1.0
+
+    x = jnp.zeros((8, 128), jnp.float32)
+    jax.block_until_ready(tiny(x))
+    blocked = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(tiny(x))
+        blocked.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps * 4):
+        out = tiny(x)
+    jax.block_until_ready(out)
+    pipelined = (time.perf_counter() - t0) / (reps * 4)
+    return {
+        "blocked_round_trip_ms": min(blocked) * 1e3,
+        "pipelined_dispatch_ms": pipelined * 1e3,
+    }
 
 
 def environment_info() -> Dict[str, Any]:

@@ -35,10 +35,9 @@ def run(quick: bool = False, only: str = ""):
     timings = []
 
     if only:
-        if not only.startswith("mpc"):
-            raise SystemExit(f"unknown --only section: {only}")
-        part = only[4:] if only.startswith("mpc-") else ""
-        timings.extend(_run_mpc(quick, part=part))
+        if only != "mpc":
+            raise SystemExit(f"unknown --only section: {only!r} (supported: mpc)")
+        timings.extend(_run_mpc(quick))
         return timings
 
     # --- Trajectory generation sweep (reference sweeps 100..50k points).
@@ -114,93 +113,130 @@ def run(quick: bool = False, only: str = ""):
     return timings
 
 
-def _run_mpc(quick: bool = False, part: str = ""):
-    """Receding-horizon MPC, Panda 7-DoF, H=50 — BASELINE config #3:
-    "H=50 MPC solves ... within a 10 ms budget".
+def _run_mpc(quick: bool = False):
+    """Receding-horizon MPC on the CALIBRATED vendored Panda, H=50 —
+    BASELINE config #3: "H=50 MPC solves ... within a 10 ms budget".
 
-    Latency is measured the only honest way on a tunnelled chip: as the
-    per-step cost of a RECEDING-HORIZON CHAIN run entirely on device —
-    solve -> apply first control -> advance one step -> warm-start the
-    next solve — via :func:`device_latency`'s difference quotient. This
-    is also exactly the deployment loop, so the number IS the control-
-    period budget the 10 ms gate talks about. Both the fused three-Pallas-
-    kernel solver (``mpc/fused.py``) and the generic ``ilqr`` are timed;
-    batched solves/s come from the vmapped generic solver.
+    Measurement methodology (the tunnel round trip to the chip has been
+    observed anywhere from 0.05 ms to ~24 ms across sessions, so every
+    number here is decomposed):
+
+    * ``device_ms`` (THE gate number): per-solve device time from an
+      INLINE-UNROLLED receding-horizon chain (solve -> apply first
+      control -> advance -> warm-start next solve), k=1 vs k=5 difference
+      quotient — the fixed round trip cancels exactly. The round-2
+      ``lax.scan``-over-solve chain never finished compiling; the inline
+      unroll compiles in seconds (see ``common.inline_chain``).
+    * ``blocked_ms`` / ``pipelined_ms``: naive fenced latency and
+      pipelined-dispatch sustained rate of the bare jitted solve, for
+      cross-checking (blocked includes one full tunnel round trip).
+    * ``dispatch_floor``: the tunnel's own blocked/pipelined floor,
+      measured in the same session.
+
+    Solvers timed: the fused three-Pallas-kernel tracking solver
+    (``mpc/fused.py``) on the 7-DoF calibrated arm chain (tip
+    ``panda_hand``) and on the full 8-joint calibrated chain (arm +
+    finger — the reference's exact actuated-joint set), plus a 2-iteration
+    warm-start deployment config. Full (non ``--quick``) mode adds the
+    generic ``ilqr`` solver and a vmapped batch (their jit compile is
+    ~4.5 min cold — tracked in ``compile_s`` — vs <35 s for the fused
+    solver; with the persistent compilation cache reruns are seconds).
     """
     import jax
     import jax.numpy as jnp
 
-    from manipulapy_tpu.models import catalog
+    from .common import dispatch_floor, inline_chain
+    from manipulapy_tpu.models import robot_data
     from manipulapy_tpu.mpc import ILQRParams, ilqr, make_step_fn, make_tracking_costs
     from manipulapy_tpu.mpc.fused import build_tracking_mpc
 
     timings = []
-    panda = catalog.panda(dtype=jnp.float32)
-    np_ = panda.num_joints
+    floor = dispatch_floor()
     H = 50
+    q_goal7 = [0.3, -0.4, 0.2, -1.6, 0.1, 1.4, 0.4]
+
+    def receding_step(solver, H, n):
+        def step(carry):
+            x, us = carry
+            us_new, xs, _ = solver.solve(x, us)
+            x_next = xs[1]
+            us_warm = jnp.concatenate([us_new[1:], us_new[-1:]], axis=0)
+            return (x_next, us_warm)
+        return step
+
+    def fused_row(name, model, q_goal, iterations, **extra):
+        import time as _time
+
+        n = model.num_joints
+        t0 = _time.perf_counter()
+        solver = build_tracking_mpc(
+            model, jnp.asarray(q_goal, jnp.float32), horizon=H, dt=0.01,
+            iterations=iterations, line_search_steps=6,
+        )
+        x0 = jnp.zeros(2 * n, jnp.float32)
+        us0 = jnp.zeros((H, n), jnp.float32)
+        jax.block_until_ready(solver.solve(x0, us0))
+        build_compile_s = _time.perf_counter() - t0
+
+        bare = time_fn(f"{name}_bare", lambda: solver.solve(x0, us0), iters=8)
+        row = device_latency(
+            name, inline_chain(receding_step(solver, H, n), (x0, us0)),
+            k_small=1, k_large=5, items_per_call=1,
+            solver="fused-pallas", horizon=H, iterations=iterations,
+            robot="panda (calibrated, vendored URDF)", n_joints=n,
+            build_plus_first_solve_compile_s=build_compile_s,
+            blocked_ms=bare.min_s * 1e3, pipelined_ms=bare.sustained_s * 1e3,
+            dispatch_floor=floor, **extra,
+        )
+        timings.append(row)
+        return row
+
+    panda7 = robot_data.load_robot("panda", tip_link="panda_hand", chain_joints_only=True)
+    panda8 = robot_data.load_robot("panda")
+
+    gate = fused_row("mpc_panda_H50_fused_single", panda7, q_goal7, 4,
+                     tip_link="panda_hand", budget_ms=10.0)
+    gate.extra["north_star_pass"] = bool(gate.sustained_s * 1e3 <= 10.0)
+
+    fused_row("mpc_panda_H50_fused_warm2", panda7, q_goal7, 2,
+              tip_link="panda_hand",
+              note="receding-horizon deployment config: warm starts converge in 2 iterations")
+    fused_row("mpc_panda_full8_H50_fused", panda8, q_goal7 + [0.02], 4,
+              note="full calibrated chain (arm + finger) = the reference's exact actuated-joint set")
+
+    if quick:
+        return timings
+
+    # --- Generic ilqr solver (flexible-cost path) on the same problem. ---
+    n = panda7.num_joints
     params = ILQRParams(horizon=H, dt=0.01, iterations=4, line_search_steps=6)
-    step_fn = make_step_fn(panda, params.dt)
-    q_goal = jnp.asarray([0.3, -0.4, 0.2, -1.6, 0.1, 1.4, 0.4], jnp.float32)
-    running, terminal = make_tracking_costs(panda, q_goal)
-    x0 = jnp.zeros(2 * np_, jnp.float32)
-    us0 = jnp.zeros((H, np_), jnp.float32)
+    step_fn = make_step_fn(panda7, params.dt)
+    running, terminal = make_tracking_costs(panda7, jnp.asarray(q_goal7, jnp.float32))
+    x0 = jnp.zeros(2 * n, jnp.float32)
+    us0 = jnp.zeros((H, n), jnp.float32)
 
-    fused = build_tracking_mpc(panda, q_goal, horizon=H, dt=params.dt,
-                               iterations=params.iterations,
-                               line_search_steps=params.line_search_steps)
-
-    def receding_chain(solve_us_xs):
-        """chain_fn factory: k receding-horizon steps with warm starts."""
-        def chain(k):
-            @jax.jit
-            def run():
-                def body(carry, _):
-                    x, us = carry
-                    us_new, xs = solve_us_xs(x, us)
-                    x_next = xs[1]
-                    us_warm = jnp.concatenate([us_new[1:], us_new[-1:]], axis=0)
-                    return (x_next, us_warm), None
-                (xf, _), _ = jax.lax.scan(body, (x0, us0), None, length=k)
-                return jnp.sum(xf)
-            return run
-        return chain
-
-    def fused_solve(x, us):
-        us_new, xs, _ = fused.solve(x, us)
-        return us_new, xs
-
-    def generic_solve(x, us):
+    @jax.jit
+    def generic_once(x, us):
         res = ilqr(step_fn, running, terminal, x, us, params,
-                   u_min=-panda.torque_limit, u_max=panda.torque_limit)
-        return res.us, res.xs
+                   u_min=-panda7.torque_limit, u_max=panda7.torque_limit)
+        return res.us, res.xs, res.cost
 
-    k_small, k_large = (2, 6) if quick else (2, 10)
-    timings.append(
-        device_latency("mpc_panda_H50_fused_single", receding_chain(fused_solve),
-                       k_small=k_small, k_large=k_large, items_per_call=1,
-                       solver="fused-pallas", horizon=H, iterations=params.iterations)
-    )
-    timings.append(
-        device_latency("mpc_panda_H50_single", receding_chain(generic_solve),
-                       k_small=k_small, k_large=k_large, items_per_call=1,
-                       solver="generic-ilqr", horizon=H, iterations=params.iterations)
-    )
+    row = time_fn("mpc_panda_H50_generic", lambda: generic_once(x0, us0),
+                  iters=8, solver="generic-ilqr", horizon=H,
+                  dispatch_floor=floor,
+                  note="blocked mean includes one tunnel round trip; "
+                       "sustained_s (pipelined) bounds device time")
+    timings.append(row)
 
-    # Batched throughput (solves/s/chip): large enough that per-call
-    # dispatch amortizes; one receding step per call.
-    Bm = 64 if quick else 256
-    x0b = jnp.zeros((Bm, 2 * np_), jnp.float32)
-    us0b = jnp.zeros((Bm, H, np_), jnp.float32)
-    batched = jax.jit(jax.vmap(lambda x, us: generic_solve(x, us)[0]))
+    # Batched throughput (solves/s/chip): dispatch amortizes over the batch.
+    Bm = 64
+    x0b = jnp.zeros((Bm, 2 * n), jnp.float32)
+    us0b = jnp.zeros((Bm, H, n), jnp.float32)
+    batched = jax.jit(jax.vmap(lambda x, us: generic_once(x, us)[0]))
     timings.append(
         time_fn(f"mpc_panda_H50_batch_{Bm}", lambda: batched(x0b, us0b),
                 items_per_call=Bm, iters=3)
     )
-
-    # The north-star gate (BASELINE config #3).
-    fused_ms = timings[0].sustained_s * 1e3
-    timings[0].extra["budget_ms"] = 10.0
-    timings[0].extra["north_star_pass"] = bool(fused_ms <= 10.0)
     return timings
 
 

@@ -154,16 +154,26 @@ def get_robots_by_dof(dof: int) -> List[str]:
 
 
 @lru_cache(maxsize=None)
-def _extract(key: str, tip_link: Optional[str]):
+def _extract(key: str, tip_link: Optional[str], chain_joints_only: bool = False):
     from ..urdf.core import URDF
 
     u = URDF.load(get_robot_urdf(key))
-    return u, u.extract_screw_axes(tip_link)
+    return u, u.extract_screw_axes(tip_link, chain_joints_only=chain_joints_only)
 
 
-def load_robot(name: str, dtype=None, tip_link: Optional[str] = None):
+def load_robot(
+    name: str,
+    dtype=None,
+    tip_link: Optional[str] = None,
+    chain_joints_only: bool = False,
+):
     """Build a :class:`RobotModel` from the calibrated URDF. Host-side
-    parsing/extraction is cached per (robot, tip_link)."""
+    parsing/extraction is cached per (robot, tip_link, chain_joints_only).
+
+    ``tip_link`` picks the end-effector frame; ``chain_joints_only=True``
+    additionally restricts the joints to the root->tip chain (e.g.
+    ``load_robot("panda", tip_link="panda_hand", chain_joints_only=True)``
+    is the 7-DOF arm without the finger joint)."""
     import jax.numpy as jnp
 
     from .robot import make_robot_model
@@ -171,7 +181,7 @@ def load_robot(name: str, dtype=None, tip_link: Optional[str] = None):
     key = name.lower()
     if key not in ROBOT_DATABASE:
         raise KeyError(f"Unknown robot {name!r}. Available: {list_robots()}")
-    _, data = _extract(key, tip_link)
+    _, data = _extract(key, tip_link, chain_joints_only)
     return make_robot_model(
         data["M"],
         data["S_list"],

@@ -117,7 +117,22 @@ def build_tracking_mpc(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n_alpha = int(line_search_steps)
-    b_col = 16  # column offset of B inside the packed AB tile
+
+    def _round_up(v, m):
+        return ((v + m - 1) // m) * m
+
+    # Packed-tile geometry, sized for the robot (supports up to n=8, e.g.
+    # the full calibrated Panda arm+finger chain with nx=16).
+    b_col = _round_up(nx, 8)  # column offset of B inside the packed AB tile
+    ab_cols = 32
+    if b_col + n > ab_cols:
+        raise ValueError(
+            f"robot too large for the fused packed layout (nx={nx}, n={n}); "
+            "use the generic mpc.ilqr solver"
+        )
+    kk_rows = _round_up(n + 1, 8)  # rows [:n] = K_t, row n = k_t
+    v_rows = _round_up(nx + 1, 8)  # rows [:nx] = Vxx, row nx = Vx
+    ab_rows = _round_up(nx, 8)
 
     # MPC step semantics: positions clipped, velocities free (hard velocity
     # clamps kill the gradients the solver needs — mpc/ilqr.py note).
@@ -203,7 +218,7 @@ def build_tracking_mpc(
         def _():
             V_s[:] = Vterm_ref[:]
 
-        ab = AB_ref[0]  # (16, 128)
+        ab = AB_ref[0]  # (ab_rows, 128)
         A = ab[:nx, :nx]
         Bm = ab[:nx, b_col : b_col + n]
         Vxx = V_s[:nx, :nx]
@@ -245,11 +260,11 @@ def build_tracking_mpc(
     @jax.jit
     def backward(AB, sd, Vterm, reg_c):
         """AB (nx, 32, LANES) lanes-layout, sd (H, 8, LANES), Vterm
-        (16, LANES), reg scalar -> gains kK (H, 8, LANES):
+        (v_rows, LANES), reg scalar -> gains kK (H, kk_rows, LANES):
         rows [:n] = K_t, row n = k_t."""
         # One relayout: lanes-major AB -> per-step (H, 16, 128) tiles.
         ABt = jnp.moveaxis(AB, -1, 0)[:H]  # (H, nx, 32)
-        AB_tiles = jnp.zeros((H, 16, _LANES), jnp.float32).at[:, :nx, :32].set(ABt)
+        AB_tiles = jnp.zeros((H, ab_rows, _LANES), jnp.float32).at[:, :nx, :32].set(ABt)
         const_tile = (
             jnp.zeros((8, _LANES), jnp.float32)
             .at[0, :nx].set(jnp.asarray(2.0 * w_x_np, jnp.float32))
@@ -260,14 +275,14 @@ def build_tracking_mpc(
             grid=(H,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # const tile
-                pl.BlockSpec((1, 16, _LANES), lambda t: (H - 1 - t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ab_rows, _LANES), lambda t: (H - 1 - t, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 8, _LANES), lambda t: (H - 1 - t, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec((1, 8, _LANES), lambda t: (H - 1 - t, 0, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((H, 8, _LANES), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((16, _LANES), jnp.float32)],
+            out_specs=pl.BlockSpec((1, kk_rows, _LANES), lambda t: (H - 1 - t, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H, kk_rows, _LANES), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((v_rows, _LANES), jnp.float32)],
             interpret=interpret,
         )(const_tile, AB_tiles, sd, Vterm, jnp.reshape(reg_c.astype(jnp.float32), (1,)))
 
@@ -333,7 +348,7 @@ def build_tracking_mpc(
             in_specs=[
                 pl.BlockSpec((1, nx), lambda t: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 8, _LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8, _LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kk_rows, _LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # alphas (1, LANES)
             ],
             out_specs=[
@@ -368,7 +383,7 @@ def build_tracking_mpc(
             alphas.astype(jnp.float32)
         )
         sd = _stage_sd(xs_ref_traj, us_ref_traj)
-        kK = jnp.zeros((H, 8, _LANES), jnp.float32)
+        kK = jnp.zeros((H, kk_rows, _LANES), jnp.float32)
         kK = kK.at[:, :n, :nx].set(Ks.astype(jnp.float32))
         kK = kK.at[:, n, :n].set(ks.astype(jnp.float32))
         xs_out, us_out, cost = forward_packed(x0_s, sd, kK, alpha_s)
@@ -390,7 +405,7 @@ def build_tracking_mpc(
         x0_s = jnp.zeros((1, nx), jnp.float32).at[0].set(x0)
         alpha_s = jnp.zeros((1, _LANES), jnp.float32).at[0, :n_alpha].set(alphas_v)
         zero_alpha = jnp.zeros((1, _LANES), jnp.float32)
-        kK0 = jnp.zeros((H, 8, _LANES), jnp.float32)
+        kK0 = jnp.zeros((H, kk_rows, _LANES), jnp.float32)
 
         # Initial rollout: alpha = 0 closed loop == open loop of us0.
         sd0 = _stage_sd(jnp.zeros((H, nx), jnp.float32), us0)
@@ -412,7 +427,7 @@ def build_tracking_mpc(
             sd = _stage_sd(xs_pre, us_cur)
             AB = linearize(xs_pre, us_cur)
             x_last = xs_post[-1]
-            Vterm = jnp.zeros((16, _LANES), jnp.float32)
+            Vterm = jnp.zeros((v_rows, _LANES), jnp.float32)
             Vterm = Vterm.at[:nx, :nx].set(jnp.diag(jnp.asarray(2.0 * wT_np, jnp.float32)))
             Vterm = Vterm.at[nx, :nx].set(
                 jnp.asarray(2.0 * wT_np, jnp.float32) * (x_last - jnp.asarray(x_goal, jnp.float32))

@@ -254,23 +254,44 @@ class URDF:
 
     # -- screw extraction ----------------------------------------------------
 
-    def extract_screw_axes(self, tip_link: Optional[str] = None) -> Dict[str, np.ndarray]:
+    def extract_screw_axes(
+        self, tip_link: Optional[str] = None, chain_joints_only: bool = False
+    ) -> Dict[str, np.ndarray]:
         """PoE data for the actuated chain (reference ``urdf/core.py:
         657-756``): space screws from world-frame joint axes at home
         (``S = [w; -w x p]`` revolute, ``[0; w]`` prismatic), body screws
         ``B = Ad(M^-1) S``, per-link spatial inertias, per-link CoM home
         transforms, and joint limits. Planar/floating joints are rejected
-        (``urdf/core.py:695-700``)."""
-        actuated = self.actuated_joints
-        n = len(actuated)
-        if n == 0:
-            raise ValueError("No actuated joints found")
+        (``urdf/core.py:695-700``).
 
+        ``tip_link`` selects the end-effector frame only; all actuated
+        joints participate (matching the reference exactly). With
+        ``chain_joints_only=True`` the joint set is instead restricted to
+        the actuated joints on the root->tip chain — e.g.
+        ``tip_link="panda_hand", chain_joints_only=True`` yields the 7-DOF
+        Panda arm without the gripper's finger joint (the reference has no
+        such selector; its screw list always spans every actuated
+        joint)."""
         fk = self.link_fk({})
         ee_name = tip_link or self.default_tip_link()
         if ee_name not in fk:
             raise ValueError(f"tip_link {ee_name!r} not found among links")
         M = fk[ee_name].copy()
+
+        if chain_joints_only:
+            chain_links = set(self.get_chain(ee_name))
+            actuated = [
+                j for j in self.actuated_joints
+                if j.child in chain_links and j.parent in chain_links
+            ]
+        else:
+            actuated = self.actuated_joints
+        n = len(actuated)
+        if n == 0:
+            raise ValueError(
+                "No actuated joints found"
+                + (" on the root->tip chain" if chain_joints_only else "")
+            )
 
         S_list = np.zeros((n, 6))
         G_list = np.zeros((n, 6, 6))
