@@ -41,8 +41,11 @@ def rollout_engine(model, dt: float = 0.01, intRes: int = 1, g=(0.0, 0.0, -9.81)
     """The preferred rollout engine for this backend: the fused Pallas
     kernel on TPU (state carried in VMEM across the whole horizon), the
     cgen XLA scan elsewhere. Both share the exact same emitted dynamics
-    (``ops/fd_step.py::build_fd_step_planes``)."""
-    if pallas_wanted(max(batch_hint, MIN_PALLAS_ELEMENTS)):
+    (``ops/fd_step.py::build_fd_step_planes``). ``batch_hint`` is the
+    total output element count when known; with no hint the work is
+    assumed large. The public API route with per-call caching is
+    ``trajectory.forward_dynamics_trajectory``."""
+    if pallas_wanted(batch_hint if batch_hint > 0 else MIN_PALLAS_ELEMENTS):
         from .pallas_rollout import build_pallas_rollout
 
         return build_pallas_rollout(

@@ -201,7 +201,45 @@ def inverse_dynamics_trajectory(
     return jnp.clip(tau, -model.torque_limit, model.torque_limit)
 
 
-@partial(jax.jit, static_argnames=("intRes",))
+_DEFAULT_G = (0.0, 0.0, -9.81)
+_ENGINE_CACHE: dict = {}
+_ENGINE_CACHE_MAX = 16
+
+
+def _rollout_engine_for(model, dt, intRes, g, num_elements, dtype, batched_2d):
+    """Resolve + cache the fast rollout engine for a concrete call, or
+    return None when only the generic scan path applies."""
+    from .ops import dispatch
+
+    want_pallas = (
+        dispatch.pallas_wanted(num_elements)
+        and dtype == jnp.float32  # the Pallas engine's precision contract
+        and batched_2d  # kernel layout needs (B, n) initial states
+    )
+    kind = "pallas" if want_pallas else "cgen"
+    key = (id(model), float(dt), int(intRes), tuple(g), kind)
+    hit = _ENGINE_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    if kind == "pallas":
+        from .ops.pallas_rollout import build_pallas_rollout
+
+        engine = build_pallas_rollout(
+            model, dt=float(dt), intRes=int(intRes), g=tuple(g),
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        from .ops.fd_step import build_rollout
+
+        engine = build_rollout(model, dt=float(dt), intRes=int(intRes), g=tuple(g))
+    if len(_ENGINE_CACHE) >= _ENGINE_CACHE_MAX:
+        _ENGINE_CACHE.pop(next(iter(_ENGINE_CACHE)))
+    # Keep the model in the value: its id() is the cache key, so it must
+    # stay alive for the key to stay unambiguous.
+    _ENGINE_CACHE[key] = (model, engine)
+    return engine
+
+
 def forward_dynamics_trajectory(
     model: RobotModel,
     thetalist: jnp.ndarray,
@@ -225,20 +263,69 @@ def forward_dynamics_trajectory(
     Leading batch axes are handled automatically: (B, J) states with
     (B, N, J) torques produce (B, N, J) outputs.
 
+    Dispatch (the analogue of the reference's GPU/CPU auto-dispatch,
+    ``path_planning.py:457-492``): concrete host-side calls with default
+    wrench/gravity are served by the fused rollout engines — the cgen
+    elementwise program (``ops/fd_step.py``), or the Pallas VMEM-carry
+    kernel (``ops/pallas_rollout.py``) for large f32 batches on TPU —
+    which share the exact same emitted dynamics and clamp semantics
+    (parity pinned in ``tests/test_trajectory.py``). Calls traced inside
+    an outer ``jit``/``vmap``, with an ``Ftipmat``, or with traced
+    ``g``/``dt`` fall back to the generic scan below.
+
     Returns:
         (thetamat, dthetamat, ddthetamat): each (N, J), where row t is the
         state at waypoint t (row 0 = initial state).
     """
+    concrete = not any(
+        isinstance(x, jax.core.Tracer)
+        for x in (
+            jax.tree_util.tree_leaves(model)
+            + [thetalist, dthetalist, taumat, dt]
+            + ([g] if g is not None else [])
+        )
+    )
+    if concrete and Ftipmat is None and intRes >= 1:
+        g_t = _DEFAULT_G if g is None else tuple(float(x) for x in jnp.asarray(g))
+        arr = jnp.asarray(thetalist)
+        engine = _rollout_engine_for(
+            model, dt, intRes, g_t,
+            num_elements=int(jnp.asarray(taumat).size),
+            dtype=arr.dtype,
+            batched_2d=(arr.ndim == 2),
+        )
+        return engine(thetalist, dthetalist, taumat)
+    return _forward_dynamics_trajectory_generic(
+        model, thetalist, dthetalist, taumat, g, Ftipmat, dt, intRes
+    )
+
+
+@partial(jax.jit, static_argnames=("intRes",))
+def _forward_dynamics_trajectory_generic(
+    model: RobotModel,
+    thetalist: jnp.ndarray,
+    dthetalist: jnp.ndarray,
+    taumat: jnp.ndarray,
+    g=None,
+    Ftipmat=None,
+    dt=0.01,
+    intRes: int = 1,
+):
+    """The generic scan path: supports tip wrenches, traced inputs, any
+    leading batch dims, and any dtype. Same step semantics as the fused
+    engines."""
     if thetalist.ndim > 1:
         if Ftipmat is None:
             batched = jax.vmap(
-                lambda q, dq, t: forward_dynamics_trajectory(
+                lambda q, dq, t: _forward_dynamics_trajectory_generic(
                     model, q, dq, t, g, None, dt, intRes
                 )
             )
             return batched(thetalist, dthetalist, taumat)
         batched = jax.vmap(
-            lambda q, dq, t, f: forward_dynamics_trajectory(model, q, dq, t, g, f, dt, intRes)
+            lambda q, dq, t, f: _forward_dynamics_trajectory_generic(
+                model, q, dq, t, g, f, dt, intRes
+            )
         )
         f_b = jnp.broadcast_to(Ftipmat, taumat.shape[:-1] + (6,))
         return batched(thetalist, dthetalist, taumat, f_b)

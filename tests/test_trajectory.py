@@ -170,6 +170,72 @@ class TestForwardDynamicsTrajectory:
         )
         np.testing.assert_allclose(np.asarray(qs[-1]), np.asarray(q0), atol=1e-6)
 
+class TestRolloutDispatch:
+    """The public rollout API is served by the fused engines
+    (``ops/fd_step.py`` cgen / ``ops/pallas_rollout.py``) for concrete
+    calls; these pin parity across the dispatch boundary and that every
+    fallback condition still lands on the generic scan."""
+
+    def _inputs(self, ur5, B=None):
+        rng = np.random.default_rng(3)
+        shp = (B, 6) if B else (6,)
+        q0 = jnp.asarray(rng.uniform(-0.5, 0.5, shp))
+        dq0 = jnp.asarray(rng.uniform(-0.2, 0.2, shp))
+        taus = jnp.asarray(rng.uniform(-5, 5, ((B,) if B else ()) + (30, 6)))
+        return q0, dq0, taus
+
+    @pytest.mark.parametrize("B", [None, 4])
+    def test_engine_matches_generic(self, ur5, B):
+        q0, dq0, taus = self._inputs(ur5, B)
+        fast = trajectory.forward_dynamics_trajectory(
+            ur5, q0, dq0, taus, dt=0.01, intRes=2
+        )
+        slow = trajectory._forward_dynamics_trajectory_generic(
+            ur5, q0, dq0, taus, None, None, 0.01, 2
+        )
+        for a, b in zip(fast, slow):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+    def test_zero_wrench_matches_no_wrench(self, ur5):
+        """Ftipmat forces the generic path; a zero wrench must agree with
+        the engine-served no-wrench call."""
+        q0, dq0, taus = self._inputs(ur5)
+        ft = jnp.zeros((30, 6))
+        a = trajectory.forward_dynamics_trajectory(ur5, q0, dq0, taus, Ftipmat=ft)
+        b = trajectory.forward_dynamics_trajectory(ur5, q0, dq0, taus)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-10)
+
+    def test_custom_gravity_served_and_correct(self, ur5):
+        q0, dq0, taus = self._inputs(ur5)
+        g = jnp.asarray([0.0, -1.0, -9.0])
+        fast = trajectory.forward_dynamics_trajectory(ur5, q0, dq0, taus, g=g)
+        slow = trajectory._forward_dynamics_trajectory_generic(
+            ur5, q0, dq0, taus, g, None, 0.01, 1
+        )
+        for a, b in zip(fast, slow):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+    def test_traced_call_falls_back(self, ur5):
+        """Inside an outer jit the inputs are tracers; the dispatcher must
+        route to the generic scan and still produce identical results."""
+        q0, dq0, taus = self._inputs(ur5)
+        jitted = jax.jit(
+            lambda q, dq, t: trajectory.forward_dynamics_trajectory(ur5, q, dq, t)
+        )
+        fast = trajectory.forward_dynamics_trajectory(ur5, q0, dq0, taus)
+        for a, b in zip(jitted(q0, dq0, taus), fast):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+    def test_engine_cache_reused(self, ur5):
+        q0, dq0, taus = self._inputs(ur5)
+        trajectory.forward_dynamics_trajectory(ur5, q0, dq0, taus)
+        size = len(trajectory._ENGINE_CACHE)
+        trajectory.forward_dynamics_trajectory(ur5, q0, dq0, taus)
+        assert len(trajectory._ENGINE_CACHE) == size
+
+
+class TestForwardDynamicsTrajectorySlow:
     @pytest.mark.slow
     def test_round_trip_inverse_then_forward(self, ur5):
         """Torques from a planned trajectory, integrated forward, track the
