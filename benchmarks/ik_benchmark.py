@@ -68,7 +68,11 @@ def run(num_targets: int = 50, seed: int = 0, robot: str = "ur5"):
     results = []
 
     def _iterative(T):
-        r = ik_mod.solve_ik(model, T, guess0, max_iterations=300)
+        # 3000-iteration budget ~ the reference's 10k default (its hard
+        # targets run seconds: mean 210 ms, p95 1.9 s, README.md:450-454);
+        # the while_loop exits early on convergence so typical solves pay
+        # ~100 iterations.
+        r = ik_mod.solve_ik(model, T, guess0, max_iterations=3000)
         return bool(r.success), float(r.trans_err)
 
     results.append(bench("iterative", _iterative))
@@ -96,45 +100,62 @@ def run(num_targets: int = 50, seed: int = 0, robot: str = "ur5"):
     results.append(bench("trac_ik", _trac))
 
     # True on-device single-solve latency: the host-loop numbers above
-    # fold the tunnelled host<->device round trip (~24 ms on this setup)
-    # plus dispatch into EVERY solve — they are what a remote caller sees,
-    # not what the chip spends. Chain solves on-device (each target warm-
-    # started from the previous solution — the servo pattern) and take the
-    # difference quotient; this is the deployment number for a co-located
-    # control loop.
-    def ik_chain(k):
-        Ts = targets[:k]
+    # fold the tunnelled host<->device round trip (observed 0.05-24 ms
+    # across sessions) plus dispatch into EVERY solve — they are what a
+    # remote caller sees, not what the chip spends. Chain solves on-device
+    # and take the difference quotient. Two variants:
+    #  * cold: every chained solve starts from guess0 (the data dependence
+    #    is a 1e-12-scaled carry fold, numerically inert) — apples-to-
+    #    apples with the host-loop rows, same per-solve iteration count;
+    #  * warm: each solve warm-starts from the previous solution (the
+    #    servo pattern) — fewer iterations per solve by construction, the
+    #    deployment number for a co-located control loop.
+    k_small = 5
+    k_large = max(k_small + 5, min(25, num_targets))
+    reps = -(-k_large // num_targets)  # ceil: tile targets when few
+    Ts_all = jnp.tile(targets, (reps, 1, 1))[:k_large]
 
-        @jax.jit
-        def run_chain():
-            def body(q_guess, T):
-                r = ik_mod.solve_ik(model, T, q_guess, max_iterations=300)
-                return r.theta, r.trans_err
-            qf, errs = jax.lax.scan(body, guess0, Ts)
-            return jnp.sum(qf) + jnp.sum(errs)
+    def ik_chain(warm):
+        def chain(k):
+            Ts = Ts_all[:k]
 
-        return run_chain
+            @jax.jit
+            def run_chain():
+                def body(q_prev, T):
+                    guess = q_prev if warm else guess0 + 1e-12 * jnp.sum(q_prev)
+                    r = ik_mod.solve_ik(model, T, guess, max_iterations=300)
+                    return r.theta, r.trans_err
+                qf, errs = jax.lax.scan(body, guess0, Ts)
+                return jnp.sum(qf) + jnp.sum(errs)
 
-    dev = device_latency(
-        "iterative_device", ik_chain,
-        k_small=5, k_large=min(25, num_targets), items_per_call=1,
-    )
-    results.append(
-        {
-            "solver": "iterative_device_latency",
-            "success_rate": None,
-            "median_ms": dev.sustained_s * 1e3,
-            "mean_ms": dev.sustained_s * 1e3,
-            "p95_ms": None,
-            "max_pos_err": None,
-            "note": "true per-solve device time via on-device warm-started chain; "
-            "host-loop rows above include the ~24 ms tunnel round trip per call",
-        }
-    )
+            return run_chain
+        return chain
+
+    for warm, label, note in [
+        (False, "iterative_device_cold",
+         "per-solve device time, cold-started like the host-loop rows; "
+         "the gap to those rows is pure tunnel round trip + dispatch"),
+        (True, "iterative_device_warm",
+         "per-solve device time with servo-style warm starts (fewer "
+         "iterations per solve than the cold rows by construction)"),
+    ]:
+        dev = device_latency(f"ik_{label}", ik_chain(warm),
+                             k_small=k_small, k_large=k_large, items_per_call=1)
+        results.append(
+            {
+                "solver": label,
+                "success_rate": None,
+                "median_ms": dev.sustained_s * 1e3,
+                "mean_ms": dev.sustained_s * 1e3,
+                "p95_ms": None,
+                "max_pos_err": None,
+                "note": note,
+            }
+        )
 
     # TPU-native batch mode: every target solved concurrently in ONE call.
     batch_fn = jax.jit(
-        lambda T, g: ik_mod.solve_ik_batch(model, T, g, max_iterations=300)
+        lambda T, g: ik_mod.solve_ik_batch(model, T, g, max_iterations=3000)
     )
     guesses = jnp.tile(guess0, (num_targets, 1))
     jax.block_until_ready(batch_fn(targets, guesses))  # compile
@@ -146,6 +167,9 @@ def run(num_targets: int = 50, seed: int = 0, robot: str = "ur5"):
     results.append(
         {
             "solver": "batch_vmap",
+            "note": "one vmapped solve for all targets; the batch returns when "
+            "every lane converges or exhausts its budget, so per-target ms is "
+            "amortized",
             "success_rate": succ / num_targets,
             "median_ms": batch_s * 1e3 / num_targets,  # amortized per target
             "mean_ms": batch_s * 1e3 / num_targets,
@@ -169,8 +193,10 @@ def main(argv=None):
     print(f"backend: {backend}")
     results = run(args.targets, robot=args.robot)
     for r in results:
+        sr = r.get("success_rate")
+        sr_txt = f"{sr * 100:5.1f}%" if sr is not None else "  n/a "
         print(
-            f"  {r['solver']:>10}: {r['success_rate']*100:5.1f}% success, "
+            f"  {r['solver']:>24}: {sr_txt} success, "
             f"median {r['median_ms']:8.2f} ms, mean {r['mean_ms']:8.2f} ms"
         )
     write_artifact(args.output, {"benchmark": "ik", "backend": backend, "results": results})

