@@ -53,7 +53,7 @@ def run(quick: bool = False):
 
     # ---- rollout engines ---------------------------------------------------
     N = 50
-    batches = [4096, 16384] if quick else [4096, 16384, 65536, 131072]
+    batches = [4096, 16384] if quick else [256, 1024, 4096, 16384, 65536, 131072]
     roll_cgen = build_rollout(model, dt=0.01, intRes=1)
     roll_pallas = build_pallas_rollout(model, dt=0.01, intRes=1, interpret=interpret)
 

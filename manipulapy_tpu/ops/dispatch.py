@@ -23,7 +23,12 @@ from ..utils.config import env_flag
 __all__ = ["pallas_wanted", "rollout_engine"]
 
 # Below this many output elements a kernel launch cannot beat the fused
-# XLA graph (measured: see benchmarks/kernel_bakeoff_results.json).
+# XLA graph. Measured (benchmarks/kernel_bakeoff_results.json, v5e): the
+# Pallas rollout ties cgen/XLA at B=256 (both at the ~5 ms dispatch
+# floor) and wins 1.5-9x from B=4096 up (41M vs 27M steps/s at B=4096,
+# 477M vs 53M at B=131072); the trajectory and potential Pallas twins
+# never beat their fused-XLA formulations and are NOT dispatched (see the
+# kernel-policy notes in trajectory.py / potential_field.py).
 MIN_PALLAS_ELEMENTS = 1 << 14
 
 

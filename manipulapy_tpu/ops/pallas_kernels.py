@@ -49,10 +49,17 @@ def _traj_kernel(method, N, tf_ref, start_ref, end_ref, pos_ref, vel_ref, acc_re
     """One (1, J, TILE_N) tile: s/s_dot/s_ddot on the lane axis, joint
     deltas broadcast over sublanes (reference ``trajectory_kernel``,
     ``cuda_kernels.py:780-831``, with the same cubic/quintic/linear
-    dispatch resolved at trace time)."""
+    dispatch resolved at trace time). The (B, J) endpoint arrays stay
+    whole in VMEM (a (1, J) block per batch row violates Mosaic's
+    8-sublane divisibility for B not a multiple of 8); the batch row is
+    selected with a dynamic index instead."""
     j = start_ref.shape[1]
+    b = pl.program_id(0)
     n0 = pl.program_id(1) * _TILE_N
-    t_idx = jax.lax.broadcasted_iota(jnp.float32, (1, j, _TILE_N), 2) + n0
+    # Mosaic's iota is integer-only; cast to f32 after the index offset.
+    t_idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, j, _TILE_N), 2) + n0
+    ).astype(jnp.float32)
     tau = jnp.clip(t_idx / float(N - 1), 0.0, 1.0)
 
     Tf = tf_ref[0, 0]
@@ -73,8 +80,8 @@ def _traj_kernel(method, N, tf_ref, start_ref, end_ref, pos_ref, vel_ref, acc_re
         s_dot = jnp.full_like(tau, inv_tf)
         s_ddot = jnp.zeros_like(tau)
 
-    start = start_ref[0, :][None, :, None]  # (1, J, 1)
-    delta = (end_ref[0, :] - start_ref[0, :])[None, :, None]
+    start = start_ref[b, :][None, :, None]  # (1, J, 1)
+    delta = (end_ref[b, :] - start_ref[b, :])[None, :, None]
     pos_ref[:] = start + s * delta
     vel_ref[:] = s_dot * delta
     acc_ref[:] = s_ddot * delta
@@ -117,8 +124,8 @@ def trajectory_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda b, n: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, J), lambda b, n: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, J), lambda b, n: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # start (B, J), whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # end (B, J), whole
         ],
         out_specs=[
             pl.BlockSpec((1, J, _TILE_N), lambda b, n: (b, 0, n), memory_space=pltpu.VMEM)

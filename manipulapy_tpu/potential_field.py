@@ -115,21 +115,11 @@ def cartesian_potential_field(
     Returns:
         (potential, gradient): shapes (...,) and (..., 3).
     """
-    # Compiled-Pallas dispatch above the launch-overhead floor (TPU, f32;
-    # see ops/dispatch.py and benchmarks/kernel_bakeoff_results.json).
-    from .ops import dispatch as _dispatch
-
-    P = 1
-    for d in positions.shape[:-1]:
-        P *= d
-    if positions.dtype == jnp.float32 and _dispatch.pallas_wanted(P):
-        from .ops.pallas_kernels import cartesian_potential_pallas
-
-        U, grad = cartesian_potential_pallas(
-            positions.reshape(P, 3), goal, obstacles, float(influence_distance)
-        )
-        return U.reshape(positions.shape[:-1]), grad.reshape(positions.shape)
-
+    # Kernel policy (measured, benchmarks/kernel_bakeoff_results.json):
+    # the fused Pallas twin (ops/pallas_kernels.py::cartesian_potential_
+    # pallas) is within +-13%/-6% of this jnp formulation at 16k-262k
+    # points — XLA fuses the whole obstacle reduction — so the jnp path
+    # serves every call and the kernel remains a tested parity twin only.
     dp = positions - goal
     U = 0.5 * jnp.sum(dp * dp, axis=-1)
     grad = dp

@@ -76,39 +76,22 @@ def joint_trajectory(
 
     Batch by passing (..., J) endpoints — the scaling profile broadcasts.
     """
-    # Compiled-Pallas dispatch (TPU, f32, non-degenerate, work size above
-    # the launch-overhead floor — see benchmarks/kernel_bakeoff_results.json
-    # and ops/dispatch.py). Degenerate Tf/N guards and f64 stay on the jnp
-    # path, whose scaling_profile carries the reference's guard semantics
-    # (cuda_kernels.py:676-680).
-    from .ops import dispatch as _dispatch
-
-    J = theta_start.shape[-1]
-    batch = 1
-    for d in theta_start.shape[:-1]:
-        batch *= d
-    if (
-        isinstance(Tf, (int, float))
-        and Tf > 0
-        and N > 1
-        and theta_start.dtype == jnp.float32
-        and _dispatch.pallas_wanted(batch * N * J)
-    ):
-        from .ops.pallas_kernels import trajectory_pallas
-
-        ts = theta_start.reshape(batch, J)
-        te = jnp.broadcast_to(theta_end, theta_start.shape).reshape(batch, J)
-        pos, vel, acc = trajectory_pallas(ts, te, Tf, N, method)
-        out_shape = theta_start.shape[:-1] + (N, J)
-        pos = pos.reshape(out_shape)
-        vel = vel.reshape(out_shape)
-        acc = acc.reshape(out_shape)
-    else:
-        s, s_dot, s_ddot = scaling_profile(Tf, N, method, dtype=theta_start.dtype)
-        delta = theta_end - theta_start
-        pos = theta_start[..., None, :] + s[:, None] * delta[..., None, :]
-        vel = s_dot[:, None] * delta[..., None, :]
-        acc = s_ddot[:, None] * delta[..., None, :]
+    # Kernel policy (measured, benchmarks/kernel_bakeoff_results.json):
+    # the broadcast outer product below IS the optimal TPU program — the
+    # hand-written Pallas twin (ops/pallas_kernels.py::trajectory_pallas)
+    # ties it at <=1.5M output elements (both at the dispatch floor) and
+    # is 2.2x SLOWER at 25M elements (B=1024, N=4096), because XLA already
+    # fuses scaling-profile + outer product into one pass while the kernel
+    # pays a (B,J,N)->(B,N,J) relayout. So the jnp path serves every call;
+    # the Pallas kernel stays as a tested parity twin only. (The reference
+    # needed five CUDA variants + an autotuner for this op,
+    # cuda_kernels.py:780-1144,1686-1896.) Degenerate Tf/N guards live in
+    # scaling_profile (cuda_kernels.py:676-680 semantics).
+    s, s_dot, s_ddot = scaling_profile(Tf, N, method, dtype=theta_start.dtype)
+    delta = theta_end - theta_start
+    pos = theta_start[..., None, :] + s[:, None] * delta[..., None, :]
+    vel = s_dot[:, None] * delta[..., None, :]
+    acc = s_ddot[:, None] * delta[..., None, :]
     if clip_to_limits:
         pos = jnp.clip(pos, model.joint_lower, model.joint_upper)
     return Trajectory(pos, vel, acc)
