@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from manipulapy_tpu.models import catalog
 from manipulapy_tpu.ops.fd_step import build_rollout
+from manipulapy_tpu.ops.pallas_rollout import build_pallas_rollout
 
 REFERENCE_EXACT_STEPS_PER_S = 1.0 / 1.17e-3  # README.md:442, CPU exact path
 
@@ -50,9 +51,16 @@ def main():
     dq0 = jax.random.uniform(k2, (batch, 6), minval=-0.5, maxval=0.5)
     taus = jax.random.uniform(k3, (batch, steps, 6), minval=-10.0, maxval=10.0)
 
-    # Fused SoA rollout kernel (ops/fd_step.py): exact coupled dynamics as
-    # one flat elementwise program — ~6x the generic vmapped path on v5e.
-    rollout = build_rollout(model, dt=0.01, intRes=1)
+    # The product rollout engine for this shape (same choice the public
+    # ``trajectory.forward_dynamics_trajectory`` dispatch makes on TPU):
+    # the Pallas VMEM-carry kernel (ops/pallas_rollout.py), which carries
+    # (q, dq) in VMEM across the whole horizon — measured 906M steps/s vs
+    # the cgen XLA scan's 64M at this batch (bakeoff + roofline artifacts;
+    # ~90% of the f32 VPU envelope). Off-TPU, fall back to the cgen scan.
+    if jax.default_backend() == "tpu":
+        rollout = build_pallas_rollout(model, dt=0.01, intRes=1)
+    else:
+        rollout = build_rollout(model, dt=0.01, intRes=1)
 
     # True on-device per-rollout time via in-program repetition: chain k
     # rollouts with a data dependence (each feeds its final state into the
