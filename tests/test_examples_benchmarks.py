@@ -43,6 +43,19 @@ class TestExamples:
         out = _run_demo("examples/intermediate/perception_demo.py")
         assert "detected 2 obstacles" in out
 
+    @pytest.mark.slow
+    def test_stereo_vision_advanced_demo(self):
+        pytest.importorskip("cv2")
+        out = _run_demo("examples/advanced/stereo_vision_advanced_demo.py")
+        assert "DBSCAN: 3 clusters" in out
+        assert "OK" in out
+
+    @pytest.mark.slow
+    def test_real_robot_integration_demo(self):
+        out = _run_demo("examples/advanced/real_robot_integration_demo.py")
+        assert "closed-loop tracking" in out
+        assert "safety:" in out
+
 
 class TestBenchmarkHelpers:
     def test_compare_to_previous_regression_semantics(self, tmp_path):
