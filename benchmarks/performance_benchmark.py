@@ -211,6 +211,9 @@ def _run_mpc(quick: bool = False):
     n = panda7.num_joints
     params = ILQRParams(horizon=H, dt=0.01, iterations=4, line_search_steps=6)
     step_fn = make_step_fn(panda7, params.dt)
+    # Hybrid linearization: differentiate the array-form step (compiles in
+    # ~half the time of jacfwd over the scalar cgen step, same runtime).
+    lin_step = make_step_fn(panda7, params.dt, fused=False)
     running, terminal = make_tracking_costs(panda7, jnp.asarray(q_goal7, jnp.float32))
     x0 = jnp.zeros(2 * n, jnp.float32)
     us0 = jnp.zeros((H, n), jnp.float32)
@@ -218,7 +221,8 @@ def _run_mpc(quick: bool = False):
     @jax.jit
     def generic_once(x, us):
         res = ilqr(step_fn, running, terminal, x, us, params,
-                   u_min=-panda7.torque_limit, u_max=panda7.torque_limit)
+                   u_min=-panda7.torque_limit, u_max=panda7.torque_limit,
+                   linearize_step_fn=lin_step)
         return res.us, res.xs, res.cost
 
     row = time_fn("mpc_panda_H50_generic", lambda: generic_once(x0, us0),

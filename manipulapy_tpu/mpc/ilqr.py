@@ -122,7 +122,8 @@ def _rollout(step_fn, x0, us, unroll: int = 1):
     return jnp.concatenate([x0[None], xs], axis=0)
 
 
-@partial(jax.jit, static_argnames=("step_fn", "cost_fn", "final_cost_fn", "params"))
+@partial(jax.jit, static_argnames=(
+    "step_fn", "cost_fn", "final_cost_fn", "params", "linearize_step_fn"))
 def ilqr(
     step_fn: Callable,
     cost_fn: Callable,
@@ -132,6 +133,7 @@ def ilqr(
     params: ILQRParams,
     u_min: Optional[jnp.ndarray] = None,
     u_max: Optional[jnp.ndarray] = None,
+    linearize_step_fn: Optional[Callable] = None,
 ) -> ILQRResult:
     """Iterative LQR with box control limits and Levenberg regularization.
 
@@ -163,8 +165,15 @@ def ilqr(
         return run + final_cost_fn(xs[-1])
 
     # Derivative bundles, each out of one vectorized jacobian program.
-    fx_fn = jax.jacfwd(step_fn, argnums=0)
-    fu_fn = jax.jacfwd(step_fn, argnums=1)
+    # ``linearize_step_fn`` lets callers differentiate a mathematically
+    # identical but compile-friendlier step: jacfwd of the scalar-unrolled
+    # cgen step pushes 3n tangents through thousands of scalar ops and
+    # costs ~4.5 min of XLA optimization at Panda H=50, while the array
+    # formulation (make_step_fn(..., fused=False)) compiles in well under
+    # half that (measured; see benchmarks/compile_budget_results.json).
+    lin_step = linearize_step_fn if linearize_step_fn is not None else step_fn
+    fx_fn = jax.jacfwd(lin_step, argnums=0)
+    fu_fn = jax.jacfwd(lin_step, argnums=1)
     lx_fn = jax.grad(cost_fn, argnums=0)
     lu_fn = jax.grad(cost_fn, argnums=1)
     lxx_fn = jax.hessian(cost_fn, argnums=0)
