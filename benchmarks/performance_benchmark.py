@@ -81,21 +81,38 @@ def run(quick: bool = False, only: str = ""):
             time_fn(f"forward_dynamics_batch_{Bk}", lambda fd=fd, qs=qs, dqs=dqs, taus=taus: fd(qs, dqs, taus), items_per_call=Bk)
         )
 
-    # --- Rollout throughput (BASELINE config #2).
+    # --- Rollout throughput (BASELINE config #2) through the PUBLIC API.
+    # Called directly (no outer jit/vmap) so the dispatcher serves it with
+    # the fused engines — wrapping it in jit turns the model into tracers
+    # and benchmarks the generic-scan fallback instead (the round-2
+    # mistake that reported 562k steps/s for a 63M steps/s engine).
     B, steps = (1024, 50) if quick else (4096, 50)
     q0b = jax.random.uniform(key, (B, n), minval=-1, maxval=1, dtype=jnp.float32)
     dq0b = jnp.zeros((B, n), jnp.float32)
     tausb = jax.random.uniform(key, (B, steps, n), minval=-10, maxval=10, dtype=jnp.float32)
-    roll = jax.jit(
+    timings.append(
+        time_fn(
+            f"fd_rollout_B{B}_N{steps}",
+            lambda: traj.forward_dynamics_trajectory(
+                model, q0b, dq0b, tausb, dt=0.01, intRes=1
+            ),
+            items_per_call=B * steps,
+            B=B,
+            steps=steps,
+            note="public dispatch-served API (fused engine on TPU)",
+        )
+    )
+    # The generic-scan fallback, for the dispatch-win comparison.
+    roll_generic = jax.jit(
         jax.vmap(lambda q, dq, t: traj.forward_dynamics_trajectory(model, q, dq, t, dt=0.01, intRes=1))
     )
     timings.append(
         time_fn(
-            f"fd_rollout_B{B}_N{steps}",
-            lambda: roll(q0b, dq0b, tausb),
+            f"fd_rollout_generic_B{B}_N{steps}",
+            lambda: roll_generic(q0b, dq0b, tausb),
             items_per_call=B * steps,
-            B=B,
-            steps=steps,
+            iters=3,
+            note="generic lax.scan fallback (traced-call path)",
         )
     )
 
