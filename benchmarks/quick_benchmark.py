@@ -73,11 +73,22 @@ def run_perf_core():
     """True on-device timings via in-program chained repetition.
 
     Earlier revisions used host-fenced per-call loops (``time_fn``); on
-    the tunnelled chip those fold a fixed ~24 ms host<->device round trip
-    plus its jitter into every call, which produced the phantom 2x
-    "regressions" in the round-1 artifact (e.g. 59 ms for a 10k-point
-    quintic trajectory — that is the tunnel, not the compute). The
-    difference-quotient chain cancels it (``common.device_latency``).
+    the tunnelled chip those fold a fixed (0.05-24 ms across sessions)
+    host<->device round trip plus its jitter into every call, which
+    produced the phantom 2x "regressions" in the round-1 artifact (e.g.
+    59 ms for a 10k-point quintic trajectory — that was the tunnel, not
+    the compute; this artifact's chained numbers supersede and explain
+    them). Two methodology rules learned the hard way:
+
+    * micro-ops (trajectory eval, one dynamics step) take microseconds —
+      the chain must repeat HUNDREDS of times for the difference quotient
+      to rise above round-trip jitter (``device_latency`` reports NaN and
+      warns when it doesn't);
+    * the rollout is chained over the PRODUCT engine
+      (``ops.dispatch.rollout_engine``) exactly like ``bench.py`` —
+      scanning over the public dispatcher would trace into the generic
+      fallback, and scanning over a vmapped generic rollout never
+      finishes compiling.
     """
     import jax
     import jax.numpy as jnp
@@ -85,6 +96,7 @@ def run_perf_core():
     from manipulapy_tpu import dynamics as dyn
     from manipulapy_tpu import trajectory as traj
     from manipulapy_tpu.models import catalog
+    from manipulapy_tpu.ops import dispatch
 
     model = catalog.ur5(dtype=jnp.float32)
     n = model.num_joints
@@ -100,7 +112,7 @@ def run_perf_core():
     timings.append(
         device_latency(
             "joint_trajectory_N10000", scalar_chain(traj_work),
-            k_small=2, k_large=12, items_per_call=10_000 * n,
+            k_small=16, k_large=4096, items_per_call=10_000 * n, reps=5,
         )
     )
 
@@ -109,16 +121,25 @@ def run_perf_core():
     dqs = jnp.zeros_like(qs)
     taus = jax.random.uniform(key, (B, 50, n), minval=-10, maxval=10, dtype=jnp.float32)
 
-    def roll_work(c):
-        qmat, _, _ = jax.vmap(
-            lambda q, dq, t: traj.forward_dynamics_trajectory(model, q, dq, t, dt=0.01)
-        )(qs + 1e-12 * c, dqs, taus)
-        return jnp.sum(qmat[:, -1])
+    engine = dispatch.rollout_engine(model, dt=0.01, batch_hint=B * 50 * n)
+
+    def roll_chain(k):
+        @jax.jit
+        def run():
+            def body(carry, _):
+                q, dq = carry
+                qmat, dqmat, _ = engine(q, dq, taus)
+                return (qmat[:, -1], dqmat[:, -1]), None
+
+            (qf, _), _ = jax.lax.scan(body, (qs, dqs), None, length=k)
+            return jnp.sum(qf)
+
+        return run
 
     timings.append(
         device_latency(
-            "fd_rollout_B1024_N50", scalar_chain(roll_work),
-            k_small=2, k_large=8, items_per_call=B * 50,
+            "fd_rollout_B1024_N50", roll_chain,
+            k_small=4, k_large=128, items_per_call=B * 50, reps=5,
         )
     )
 
@@ -131,7 +152,7 @@ def run_perf_core():
     timings.append(
         device_latency(
             "forward_dynamics_batch_1024", scalar_chain(fd_work),
-            k_small=2, k_large=12, items_per_call=B,
+            k_small=8, k_large=256, items_per_call=B, reps=5,
         )
     )
     return timings
