@@ -35,11 +35,17 @@ def run(num_targets: int = 50, seed: int = 0, robot: str = "ur5"):
     from manipulapy_tpu.kinematics import forward_kinematics
     from manipulapy_tpu.models import catalog
 
+    from manipulapy_tpu.models.robot import host_arrays
+
     model = catalog.get_robot(robot, dtype=jnp.float32)
     n = model.num_joints
     rng = np.random.default_rng(seed)
-    lo = np.where(np.isfinite(model.joint_lower), np.asarray(model.joint_lower), -np.pi)
-    hi = np.where(np.isfinite(model.joint_upper), np.asarray(model.joint_upper), np.pi)
+    host = host_arrays(model) or {
+        "joint_lower": np.asarray(model.joint_lower, np.float64),
+        "joint_upper": np.asarray(model.joint_upper, np.float64),
+    }
+    lo = np.where(np.isfinite(host["joint_lower"]), host["joint_lower"], -np.pi)
+    hi = np.where(np.isfinite(host["joint_upper"]), host["joint_upper"], np.pi)
     q_true = jnp.asarray(rng.uniform(0.3 * lo, 0.3 * hi, size=(num_targets, n)), dtype=jnp.float32)
     targets = jax.jit(jax.vmap(lambda q: forward_kinematics(model, q)))(q_true)
     guess0 = jnp.zeros(n, dtype=jnp.float32)

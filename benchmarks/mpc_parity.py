@@ -63,15 +63,17 @@ def run(horizon: int = 50, dt: float = 0.01, iterations: int = 4):
     # Same joint set as the reference stack (all actuated joints).
     model = robot_data.load_robot("panda")
     assert model.num_joints == n, (model.num_joints, n)
-    lower = np.asarray(model.joint_lower, dtype=np.float64)
-    upper = np.asarray(model.joint_upper, dtype=np.float64)
+    from manipulapy_tpu.models.robot import host_arrays
+
+    host = host_arrays(model)  # avoid device readback (slow through tunnel)
+    lower, upper = host["joint_lower"], host["joint_upper"]
 
     q_goal = np.asarray([0.3, -0.4, 0.2, -1.6, 0.1, 1.4, 0.4, 0.02][:n])
     g = np.array([0.0, 0.0, -9.81])
 
     t0 = time.perf_counter()
     mpc = build_tracking_mpc(
-        model, jnp.asarray(q_goal, jnp.float32), horizon=horizon, dt=dt,
+        model, q_goal, horizon=horizon, dt=dt,
         iterations=iterations,
     )
     x0 = jnp.zeros(2 * n, jnp.float32)

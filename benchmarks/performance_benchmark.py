@@ -187,7 +187,7 @@ def _run_mpc(quick: bool = False):
         n = model.num_joints
         t0 = _time.perf_counter()
         solver = build_tracking_mpc(
-            model, jnp.asarray(q_goal, jnp.float32), horizon=H, dt=0.01,
+            model, np.asarray(q_goal, dtype=np.float32), horizon=H, dt=0.01,
             iterations=iterations, line_search_steps=6,
         )
         x0 = jnp.zeros(2 * n, jnp.float32)

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..core import lie
 
-__all__ = ["RobotModel", "make_robot_model"]
+__all__ = ["RobotModel", "host_arrays", "make_robot_model"]
 
 
 @jax.tree_util.register_dataclass
@@ -80,6 +80,34 @@ class RobotModel:
     def joint_limits(self) -> jnp.ndarray:
         """(n, 2) stacked [lower, upper] limits."""
         return jnp.stack([self.joint_lower, self.joint_upper], axis=-1)
+
+
+_HOST_ARRAYS: dict = {}
+
+
+def _register_host_arrays(model: "RobotModel", arrays: dict) -> None:
+    """Remember the f64 NumPy source arrays of a model.
+
+    Device->host readback on a tunnelled TPU is expensive and can degrade
+    to SECONDS per array under tunnel load (measured: a model build that
+    re-fetched its own arrays took 6 min that way); every builder that
+    needs host copies (``ops/cgen``/``ops/fd_step`` codegen, the fused
+    MPC) goes through :func:`host_arrays` instead, which serves these
+    registered copies with zero device traffic. Keyed by the identity of
+    one model leaf with weakref-based eviction."""
+    import weakref
+
+    key = id(model.screws_space)
+    _HOST_ARRAYS[key] = arrays
+    weakref.finalize(model.screws_space, _HOST_ARRAYS.pop, key, None)
+
+
+def host_arrays(model: "RobotModel"):
+    """Host-side f64 NumPy copies of the model arrays, or None when this
+    model was not built by :func:`make_robot_model` (e.g. a sliced or
+    tree-mapped derivative) — callers fall back to one batched
+    ``jax.device_get``."""
+    return _HOST_ARRAYS.get(id(model.screws_space))
 
 
 def make_robot_model(
@@ -158,7 +186,7 @@ def make_robot_model(
         tau = np.where(np.isfinite(torque_limits), np.abs(torque_limits), np.inf)
 
     as_dtype = lambda x: jnp.asarray(x, dtype=dtype)
-    return RobotModel(
+    model = RobotModel(
         home=as_dtype(home),
         screws_space=as_dtype(S),
         screws_body=as_dtype(B),
@@ -169,3 +197,13 @@ def make_robot_model(
         velocity_limit=as_dtype(vel),
         torque_limit=as_dtype(tau),
     )
+    _register_host_arrays(
+        model,
+        {
+            "home": home, "screws_space": S, "screws_body": B,
+            "inertias": G, "com_home": Mc, "joint_lower": lower,
+            "joint_upper": upper, "velocity_limit": np.asarray(vel, np.float64),
+            "torque_limit": np.asarray(tau, np.float64),
+        },
+    )
+    return model

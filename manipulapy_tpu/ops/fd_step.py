@@ -40,16 +40,27 @@ __all__ = ["build_fd_step", "build_bias_mass_fn", "build_rollout"]
 
 
 def _np_model(model: RobotModel):
-    """Host NumPy copies of the model arrays (f64 for constant folding)."""
-    get = lambda x: np.asarray(x, dtype=np.float64)
-    return (
-        get(model.screws_space),
-        get(model.com_home),
-        get(model.inertias),
-        get(model.joint_lower),
-        get(model.joint_upper),
-        get(model.velocity_limit),
+    """Host NumPy copies of the model arrays (f64 for constant folding).
+
+    Served from the registry populated at model construction
+    (``models.robot.host_arrays``) — device->host readback through the
+    tunnel can cost seconds PER ARRAY under load, and this function sits
+    on every engine/solver build path. The fallback (models not built by
+    ``make_robot_model``, e.g. tree-mapped derivatives) fetches all six
+    arrays in one ``jax.device_get``."""
+    from ..models.robot import host_arrays
+
+    host = host_arrays(model)
+    if host is not None:
+        return (
+            host["screws_space"], host["com_home"], host["inertias"],
+            host["joint_lower"], host["joint_upper"], host["velocity_limit"],
+        )
+    fetched = jax.device_get(
+        (model.screws_space, model.com_home, model.inertias,
+         model.joint_lower, model.joint_upper, model.velocity_limit)
     )
+    return tuple(np.asarray(x, dtype=np.float64) for x in fetched)
 
 
 def _adjoint_np(T: np.ndarray) -> np.ndarray:
