@@ -96,3 +96,76 @@ class TestModelSanity:
         b = robot_data.load_robot("ur5")
         # Host-side parse happens once (lru_cache); arrays are equal.
         np.testing.assert_array_equal(np.asarray(a.home), np.asarray(b.home))
+
+
+class TestChainRestriction:
+    """chain_joints_only: the explicit-tip joint-subset selector (no
+    reference counterpart; its screw list always spans every actuated
+    joint, urdf/core.py:657-756)."""
+
+    def test_panda_arm_chain_excludes_finger(self):
+        full = robot_data.load_robot("panda")
+        arm = robot_data.load_robot("panda", tip_link="panda_hand",
+                                    chain_joints_only=True)
+        assert full.num_joints == 8
+        assert arm.num_joints == 7
+        # The 7 arm joints must be the first 7 of the full model, bit-equal.
+        np.testing.assert_array_equal(
+            np.asarray(arm.screws_space), np.asarray(full.screws_space[:7])
+        )
+
+    def test_default_tip_unrestricted(self):
+        # tip_link alone only moves the EE frame; joint set unchanged.
+        m = robot_data.load_robot("panda", tip_link="panda_link8")
+        assert m.num_joints == 8
+
+    def test_chain_restriction_ee_frame(self):
+        from manipulapy_tpu import kinematics
+
+        arm = robot_data.load_robot("panda", tip_link="panda_hand",
+                                    chain_joints_only=True)
+        import jax.numpy as jnp
+
+        T = kinematics.forward_kinematics(arm, jnp.zeros(7))
+        # panda_hand at home: reachable, above base, within reach.
+        p = np.asarray(T[:3, 3])
+        assert 0.3 < float(np.linalg.norm(p)) < 1.2
+
+
+class TestHostArrayRegistry:
+    """host_arrays: zero-device-traffic host copies for builders
+    (device->host readback through a tunnel can cost seconds/array)."""
+
+    def test_registered_and_bit_equal(self):
+        from manipulapy_tpu.models.robot import host_arrays
+
+        m = robot_data.load_robot("ur5")
+        host = host_arrays(m)
+        assert host is not None
+        # The registry holds the f64 SOURCE; the model leaves are its f32
+        # casts — casting the source the same way must be bit-equal.
+        np.testing.assert_array_equal(
+            host["screws_space"].astype(np.float32), np.asarray(m.screws_space)
+        )
+        assert host["torque_limit"].shape == (6,)
+
+    def test_derived_model_not_registered(self):
+        import jax
+        from manipulapy_tpu.models.robot import host_arrays
+
+        m = robot_data.load_robot("ur5")
+        derived = jax.tree.map(lambda x: x * 1.0, m)
+        assert host_arrays(derived) is None
+
+    def test_builders_work_without_registry(self):
+        """fd_step falls back to one batched device_get for derived models."""
+        import jax
+        import jax.numpy as jnp
+        from manipulapy_tpu.ops.fd_step import build_fd_step
+
+        m = robot_data.load_robot("ur5")
+        derived = jax.tree.map(lambda x: x + 0.0, m)
+        step = build_fd_step(derived, dt=0.01)
+        q = jnp.zeros((2, 6))
+        qn, dqn, ddq = step(q, q, q)
+        assert qn.shape == (2, 6)
