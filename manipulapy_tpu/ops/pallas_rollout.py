@@ -70,30 +70,37 @@ def build_pallas_rollout(
         model, dt=float(dt) / intRes, g=g, clip_limits=True
     )
 
-    def kernel(q0_ref, dq0_ref, tau_ref, qs_ref, dqs_ref, ddqs_ref, q_s, dq_s):
-        t = pl.program_id(1)
+    def make_kernel(Tt):
+        """Kernel processing ``Tt`` waypoints per grid cell. A multi-step
+        time tile amortizes per-cell pipeline bookkeeping and enlarges the
+        DMA blocks (measured +5% at B=131072 over Tt=1; bit-exact)."""
 
-        # New batch tile: seed the scratch state from the initial state.
-        @pl.when(t == 0)
-        def _():
-            q_s[:] = q0_ref[0]
-            dq_s[:] = dq0_ref[0]
+        def kernel(q0_ref, dq0_ref, tau_ref, qs_ref, dqs_ref, ddqs_ref, q_s, dq_s):
+            t = pl.program_id(1)
 
-        q = [q_s[j] for j in range(n)]
-        dq = [dq_s[j] for j in range(n)]
-        tau = [tau_ref[0, 0, j] for j in range(n)]
+            # New batch tile: seed the scratch state from the initial state.
+            @pl.when(t == 0)
+            def _():
+                q_s[:] = q0_ref[0]
+                dq_s[:] = dq0_ref[0]
 
-        # Output contract: row t is the state AT waypoint t (pre-step).
-        qs_ref[0, 0] = q_s[:]
-        dqs_ref[0, 0] = dq_s[:]
+            q = [q_s[j] for j in range(n)]
+            dq = [dq_s[j] for j in range(n)]
+            for tt in range(Tt):
+                # Output contract: row t is the state AT waypoint t (pre-step).
+                for j in range(n):
+                    qs_ref[0, tt, j] = jnp.broadcast_to(q[j], (_SUB, _LANE))
+                    dqs_ref[0, tt, j] = jnp.broadcast_to(dq[j], (_SUB, _LANE))
+                tau = [tau_ref[0, tt, j] for j in range(n)]
+                for _ in range(intRes):
+                    q, dq, ddq = step_planes(q, dq, tau)
+                for j in range(n):
+                    ddqs_ref[0, tt, j] = jnp.broadcast_to(ddq[j], (_SUB, _LANE))
+            for j in range(n):
+                q_s[j] = q[j]
+                dq_s[j] = dq[j]
 
-        for _ in range(intRes):
-            q, dq, ddq = step_planes(q, dq, tau)
-
-        for j in range(n):
-            q_s[j] = q[j]
-            dq_s[j] = dq[j]
-            ddqs_ref[0, 0, j] = jnp.broadcast_to(ddq[j], (_SUB, _LANE))
+        return kernel
 
     @jax.jit
     def rollout(q0: jnp.ndarray, dq0: jnp.ndarray, taumat: jnp.ndarray):
@@ -124,16 +131,18 @@ def build_pallas_rollout(
             )
 
         q0_s, dq0_s, tau_s = stage2(q0), stage2(dq0), stage3(taumat)
+        # Time tile: largest divisor of N up to 8 (N is static under jit).
+        Tt = next(d for d in (8, 7, 6, 5, 4, 3, 2, 1) if N % d == 0)
         out = jax.ShapeDtypeStruct((Bt, N, n, _SUB, _LANE), jnp.float32)
         state_spec = pl.BlockSpec(
             (1, n, _SUB, _LANE), lambda b, t: (b, 0, 0, 0), memory_space=pltpu.VMEM
         )
         step_spec = pl.BlockSpec(
-            (1, 1, n, _SUB, _LANE), lambda b, t: (b, t, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, Tt, n, _SUB, _LANE), lambda b, t: (b, t, 0, 0, 0), memory_space=pltpu.VMEM
         )
         qs, dqs, ddqs = pl.pallas_call(
-            kernel,
-            grid=(Bt, N),
+            make_kernel(Tt),
+            grid=(Bt, N // Tt),
             in_specs=[state_spec, state_spec, step_spec],
             out_specs=[step_spec] * 3,
             out_shape=[out, out, out],
