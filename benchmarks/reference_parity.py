@@ -57,6 +57,20 @@ F64_TOL = 1e-6
 # the residual is the reference's eps=1e-6 finite-difference floor.
 F64_FWD_TOL = 5e-5
 F32_TAU_TOL = 1e-3  # BASELINE.json: "torque parity <= 1e-3"
+# Forward dynamics in f32 is gated on the norm-wise relative error with a
+# 1 rad/s^2 absolute floor. Absolute tolerances are not meaningful here:
+# ddq = M^{-1}(tau - h) has forward-error sensitivity cond(M) * eps * |ddq|,
+# and on gripper chains (jaco: M diagonal spans 1e-5..1.5, cond ~5e5) random
+# in-limit torques legitimately produce |ddq| ~ 1e6 rad/s^2 (tau/I for a
+# 1e-5 kg m^2 finger link), so a ~10 rad/s^2 absolute deviation is a ~1e-5
+# RELATIVE error — at the f32 information floor. The conditioning study
+# (benchmarks/f32_conditioning_study.py) shows solver-side fixes
+# (equilibration, iterative refinement, even an f64 solve on the f32
+# inputs) do not move this error: it is the rounding of M and the bias to
+# f32, not the Cholesky. The reference never faced this: its exact path is
+# f64-only (dynamics.py:342-369) and its f32 GPU kernel used decoupled
+# per-joint dynamics (cuda_kernels.py:1230-1331).
+F32_FWD_SCALED_TOL = 1e-3
 
 
 def unique_robots():
@@ -223,14 +237,25 @@ def numeric_parity(key: str, urdf_path: str, K: int, rng):
     f64_pass = all(
         v <= (F64_FWD_TOL if k == "fwddyn" else F64_TOL) for k, v in err64.items()
     )
+    # Norm-wise relative fwddyn error with a 1 rad/s^2 floor (see the
+    # F32_FWD_SCALED_TOL rationale above): per sample,
+    # ||ddq32 - ddq_ref||_inf / max(1, ||ddq_ref||_inf).
+    fwd_ref = np.asarray(ref["fwddyn"], dtype=np.float64)
+    fwd_32 = np.asarray(out32["fwddyn"], dtype=np.float64)
+    per_sample = np.max(np.abs(fwd_32 - fwd_ref), axis=-1) / np.maximum(
+        1.0, np.max(np.abs(fwd_ref), axis=-1)
+    )
+    fwd_scaled32 = float(per_sample.max())
     return {
         "status": "ok",
         "n": n,
         "states": K,
         "f64_max_err": err64,
         "f32_max_err": err32,
+        "f32_fwddyn_scaled": fwd_scaled32,
         "f64_pass": f64_pass,
         "f32_torque_pass": max(err32["invdyn"], err32["invdyn_rnea"]) <= F32_TAU_TOL,
+        "f32_fwddyn_pass": fwd_scaled32 <= F32_FWD_SCALED_TOL,
     }
 
 
@@ -369,6 +394,7 @@ def main() -> int:
             f"struct={entry['structural'].get('pass')} "
             f"f64={entry.get('numeric', {}).get('f64_pass')} "
             f"f32tau={entry.get('numeric', {}).get('f32_torque_pass')} "
+            f"f32fwd={entry.get('numeric', {}).get('f32_fwddyn_pass')} "
             f"traj={entry.get('trajectory', {}).get('pass')} "
             f"ctrl={entry.get('control', {}).get('pass')}"
         )
@@ -384,6 +410,9 @@ def main() -> int:
         "f32_torque_1e-3": all(
             r.get("numeric", {}).get("f32_torque_pass", False) for r in results.values() if "error" not in r
         ),
+        "f32_fwddyn_scaled_1e-3": all(
+            r.get("numeric", {}).get("f32_fwddyn_pass", False) for r in results.values() if "error" not in r
+        ),
         "trajectory": all(
             r.get("trajectory", {}).get("pass", False) for r in results.values() if "error" not in r
         ),
@@ -394,7 +423,12 @@ def main() -> int:
     n_err = sum(1 for r in results.values() if "error" in r)
     payload = {
         "description": "parity vs the real ManipulaPy reference (accurate Mlist_per_link path)",
-        "tolerances": {"structural": STRUCT_TOL, "f64": F64_TOL, "f32_torque": F32_TAU_TOL},
+        "tolerances": {
+            "structural": STRUCT_TOL,
+            "f64": F64_TOL,
+            "f32_torque": F32_TAU_TOL,
+            "f32_fwddyn_scaled": F32_FWD_SCALED_TOL,
+        },
         "robots": results,
         "gates": gates,
         "robots_compared": len(results) - n_err,

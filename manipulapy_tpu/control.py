@@ -18,10 +18,17 @@ Formulas match the reference method-for-method (citations inline).
 
 from __future__ import annotations
 
+import logging
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# Module logger (the reference uses a global basicConfig at control.py:51-52
+# — an inconsistency its other modules avoid; we use the per-module pattern
+# of path_planning.py:142 throughout).
+logger = logging.getLogger(__name__)
 
 from .dynamics import (
     bias_forces,
@@ -51,6 +58,7 @@ __all__ = [
     "kalman_filter_control",
     "enforce_limits",
     "ziegler_nichols_tuning",
+    "tune_controller",
     "find_ultimate_gain_and_period",
     "step_response_metrics",
 ]
@@ -277,20 +285,42 @@ def enforce_limits(model: RobotModel, thetalist, dthetalist, tau) -> Tuple[jnp.n
 
 
 def ziegler_nichols_tuning(Ku, Tu, kind: str = "PID"):
-    """Classic Z-N gain tables from ultimate gain/period
-    (``control.py:925-958``). Returns (Kp, Ki, Kd)."""
+    """Z-N gain tables from ultimate gain/period, matching the reference's
+    rows and Tu validation exactly (``control.py:925-973``): P -> 0.5 Ku;
+    PI -> (0.45 Ku, 1.2 Ku/Tu); PID -> (0.6 Ku, 2 Kp/Tu, 0.125 Kp Tu).
+    Returns (Kp, Ki, Kd). Tu must be positive/finite for PI/PID — Tu == 0
+    typically means :func:`find_ultimate_gain_and_period` found no
+    sustained oscillation (reference ``control.py:952-958``)."""
     Ku = jnp.asarray(Ku)
-    Tu = jnp.asarray(Tu)
     kind = kind.upper()
     if kind == "P":
         return 0.5 * Ku, jnp.zeros_like(Ku), jnp.zeros_like(Ku)
+    Tu_np = np.asarray(Tu, dtype=np.float64)
+    if not np.all(np.isfinite(Tu_np)) or np.any(Tu_np <= 0):
+        raise ValueError(
+            f"Tu (ultimate period) must be positive and finite, got Tu={Tu!r}. "
+            "Tu == 0 typically indicates find_ultimate_gain_and_period found "
+            "no sustained oscillation; check your gain sweep."
+        )
+    Tu = jnp.asarray(Tu)
     if kind == "PI":
-        Kp = 0.45 * Ku
-        return Kp, 1.2 * Kp / Tu, jnp.zeros_like(Ku)
+        return 0.45 * Ku, 1.2 * Ku / Tu, jnp.zeros_like(Ku)
     if kind == "PID":
         Kp = 0.6 * Ku
-        return Kp, 2.0 * Kp / Tu, Kp * Tu / 8.0
-    raise ValueError(f"Unknown controller kind {kind!r}")
+        return Kp, 2.0 * Kp / Tu, 0.125 * Kp * Tu
+    raise ValueError(f"Unknown controller kind {kind!r}; must be 'P', 'PI' or 'PID'")
+
+
+def tune_controller(Ku, Tu, kind: str = "PID", n: Optional[int] = None):
+    """Convenience wrapper over :func:`ziegler_nichols_tuning` (reference
+    ``control.py:975-990``): validates through the same Tu checks, logs
+    the tuned gains, and — when ``n`` is given — broadcasts scalars to
+    DOF-length arrays ready to pass to the controller step functions."""
+    Kp, Ki, Kd = ziegler_nichols_tuning(Ku, Tu, kind)
+    if n is not None:
+        Kp, Ki, Kd = (jnp.broadcast_to(k, (n,)) for k in (Kp, Ki, Kd))
+    logger.info("Tuned Z-N (%s) gains\n  Kp=%s\n  Ki=%s\n  Kd=%s", kind, Kp, Ki, Kd)
+    return Kp, Ki, Kd
 
 
 def find_ultimate_gain_and_period(

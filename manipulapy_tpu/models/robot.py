@@ -94,11 +94,27 @@ def _register_host_arrays(model: "RobotModel", arrays: dict) -> None:
     needs host copies (``ops/cgen``/``ops/fd_step`` codegen, the fused
     MPC) goes through :func:`host_arrays` instead, which serves these
     registered copies with zero device traffic. Keyed by the identity of
-    one model leaf with weakref-based eviction."""
+    one model leaf with weakref-based eviction.
+
+    Arrays are stored as immutable defensive copies: ``np.asarray`` would
+    alias the caller's buffers when they are already float64, and a
+    caller mutating its arrays after ``make_robot_model`` would silently
+    desynchronise the codegen builders from the device model."""
+    import hashlib
     import weakref
 
+    frozen = {}
+    h = hashlib.sha256()
+    for name in sorted(arrays):
+        a = np.array(arrays[name], dtype=np.float64, copy=True)
+        a.setflags(write=False)
+        frozen[name] = a
+        h.update(name.encode())
+        h.update(a.tobytes())
+    frozen["digest"] = h.hexdigest()
+
     key = id(model.screws_space)
-    _HOST_ARRAYS[key] = arrays
+    _HOST_ARRAYS[key] = frozen
     weakref.finalize(model.screws_space, _HOST_ARRAYS.pop, key, None)
 
 

@@ -168,7 +168,11 @@ def load_robot(
     chain_joints_only: bool = False,
 ):
     """Build a :class:`RobotModel` from the calibrated URDF. Host-side
-    parsing/extraction is cached per (robot, tip_link, chain_joints_only).
+    parsing/extraction AND the built model are cached per
+    (robot, dtype, tip_link, chain_joints_only) — RobotModel is an
+    immutable PyTree, so sharing one object is safe, and returning the
+    same object keeps downstream engine caches
+    (``trajectory._ENGINE_CACHE``) warm across repeated loads.
 
     ``tip_link`` picks the end-effector frame; ``chain_joints_only=True``
     additionally restricts the joints to the root->tip chain (e.g.
@@ -176,11 +180,21 @@ def load_robot(
     is the 7-DOF arm without the finger joint)."""
     import jax.numpy as jnp
 
-    from .robot import make_robot_model
-
     key = name.lower()
     if key not in ROBOT_DATABASE:
         raise KeyError(f"Unknown robot {name!r}. Available: {list_robots()}")
+    dtype_name = jnp.dtype(dtype or jnp.float32).name
+    return _build_model_cached(key, dtype_name, tip_link, chain_joints_only)
+
+
+@lru_cache(maxsize=64)
+def _build_model_cached(
+    key: str, dtype_name: str, tip_link: Optional[str], chain_joints_only: bool
+):
+    import jax.numpy as jnp
+
+    from .robot import make_robot_model
+
     _, data = _extract(key, tip_link, chain_joints_only)
     return make_robot_model(
         data["M"],
@@ -191,7 +205,7 @@ def load_robot(
         joint_limits=list(zip(data["joint_lower"], data["joint_upper"])),
         velocity_limits=data["velocity"],
         torque_limits=data["effort"],
-        dtype=dtype or jnp.float32,
+        dtype=jnp.dtype(dtype_name),
     )
 
 

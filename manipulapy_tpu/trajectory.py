@@ -200,7 +200,16 @@ def _rollout_engine_for(model, dt, intRes, g, num_elements, dtype, batched_2d):
         and batched_2d  # kernel layout needs (B, n) initial states
     )
     kind = "pallas" if want_pallas else "cgen"
-    key = (id(model), float(dt), int(intRes), tuple(g), kind)
+    # Key on model CONTENT when available: load_robot builds a fresh
+    # RobotModel per call, so an id(model) key would rebuild+recompile
+    # the engine on every forward_dynamics_trajectory(load_robot(...))
+    # call. The host-array registry carries a sha256 of the f64 source
+    # arrays; id(model) is the fallback for derived (tree-mapped) models.
+    from .models.robot import host_arrays
+
+    host = host_arrays(model)
+    model_key = host["digest"] if host is not None else id(model)
+    key = (model_key, str(model.dtype), float(dt), int(intRes), tuple(g), kind)
     hit = _ENGINE_CACHE.get(key)
     if hit is not None:
         return hit[1]
@@ -265,7 +274,9 @@ def forward_dynamics_trajectory(
         for x in (
             jax.tree_util.tree_leaves(model)
             + [thetalist, dthetalist, taumat, dt]
-            + ([g] if g is not None else [])
+            # Flatten g: a tuple of traced scalars must route to the
+            # generic path, not crash the float() coercion below.
+            + jax.tree_util.tree_leaves(g)
         )
     )
     if concrete and Ftipmat is None and intRes >= 1:

@@ -15,11 +15,13 @@ from .validation import URDFValidator, ValidationResult, validate
 from .visualization import animate_robot, show_robot
 from .xacro import XacroProcessor, process_xacro
 from .types import (
+    Actuator,
     Box,
     Collision,
     Cylinder,
     Inertial,
     Joint,
+    JointCalibration,
     JointDynamics,
     JointLimit,
     JointMimic,
@@ -27,7 +29,10 @@ from .types import (
     Link,
     Mesh,
     Origin,
+    SafetyController,
     Sphere,
+    Transmission,
+    TransmissionJoint,
     Visual,
 )
 
@@ -44,6 +49,11 @@ __all__ = [
     "JointLimit",
     "JointDynamics",
     "JointMimic",
+    "SafetyController",
+    "JointCalibration",
+    "Actuator",
+    "TransmissionJoint",
+    "Transmission",
     "Box",
     "Cylinder",
     "Sphere",

@@ -47,6 +47,7 @@ class URDF:
         self.name = robot.name
         self._links: Dict[str, Link] = robot.link_map
         self._joints: Dict[str, Joint] = robot.joint_map
+        self.transmissions = list(getattr(robot, "transmissions", []))
         self._build_tree()
 
     # -- construction -------------------------------------------------------

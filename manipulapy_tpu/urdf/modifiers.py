@@ -377,5 +377,40 @@ def urdf_to_xml(robot: ParsedRobot) -> str:
                 multiplier=f"{j.mimic.multiplier:.12g}",
                 offset=f"{j.mimic.offset:.12g}",
             )
+        if j.safety_controller is not None:
+            sc = j.safety_controller
+            ET.SubElement(
+                el,
+                "safety_controller",
+                soft_lower_limit=f"{sc.soft_lower_limit:.12g}",
+                soft_upper_limit=f"{sc.soft_upper_limit:.12g}",
+                k_position=f"{sc.k_position:.12g}",
+                k_velocity=f"{sc.k_velocity:.12g}",
+            )
+        if j.calibration is not None:
+            attrs = {}
+            if j.calibration.rising is not None:
+                attrs["rising"] = f"{j.calibration.rising:.12g}"
+            if j.calibration.falling is not None:
+                attrs["falling"] = f"{j.calibration.falling:.12g}"
+            ET.SubElement(el, "calibration", **attrs)
+    for t in getattr(robot, "transmissions", []):
+        tel = ET.SubElement(root, "transmission", name=t.name)
+        if t.type:
+            type_el = ET.SubElement(tel, "type")
+            type_el.text = t.type
+        for tj in t.joints:
+            jel = ET.SubElement(tel, "joint", name=tj.name)
+            if tj.hardware_interface:
+                hw = ET.SubElement(jel, "hardwareInterface")
+                hw.text = tj.hardware_interface
+        for act in t.actuators:
+            ael = ET.SubElement(tel, "actuator", name=act.name)
+            if act.mechanical_reduction != 1.0:
+                mr = ET.SubElement(ael, "mechanicalReduction")
+                mr.text = f"{act.mechanical_reduction:.12g}"
+            if act.hardware_interface:
+                hw = ET.SubElement(ael, "hardwareInterface")
+                hw.text = act.hardware_interface
     ET.indent(root)
     return ET.tostring(root, encoding="unicode", xml_declaration=True)

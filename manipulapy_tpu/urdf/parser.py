@@ -18,11 +18,13 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from .types import (
+    Actuator,
     Box,
     Collision,
     Cylinder,
     Inertial,
     Joint,
+    JointCalibration,
     JointDynamics,
     JointLimit,
     JointMimic,
@@ -30,7 +32,10 @@ from .types import (
     Link,
     Mesh,
     Origin,
+    SafetyController,
     Sphere,
+    Transmission,
+    TransmissionJoint,
     Visual,
 )
 
@@ -78,12 +83,20 @@ class PackageResolver:
 
 
 class ParsedRobot:
-    """Raw parse result: named links/joints plus document metadata."""
+    """Raw parse result: named links/joints/transmissions plus document
+    metadata."""
 
-    def __init__(self, name: str, links: List[Link], joints: List[Joint]):
+    def __init__(
+        self,
+        name: str,
+        links: List[Link],
+        joints: List[Joint],
+        transmissions: Optional[List[Transmission]] = None,
+    ):
         self.name = name
         self.links = links
         self.joints = joints
+        self.transmissions = list(transmissions or [])
         self.link_map = {l.name: l for l in links}
         self.joint_map = {j.name: j for j in joints}
 
@@ -118,7 +131,8 @@ class URDFParser:
         name = root.get("name", "robot")
         links = [self._parse_link(el, base_dir) for el in root.findall("link")]
         joints = [self._parse_joint(el) for el in root.findall("joint")]
-        return ParsedRobot(name, links, joints)
+        transmissions = [self._parse_transmission(el) for el in root.findall("transmission")]
+        return ParsedRobot(name, links, joints, transmissions)
 
     @staticmethod
     def _repair_xml(content: str) -> str:
@@ -236,6 +250,23 @@ class URDFParser:
                 multiplier=float(mimic_el.get("multiplier", 1.0)),
                 offset=float(mimic_el.get("offset", 0.0)),
             )
+        safety = None
+        safety_el = el.find("safety_controller")
+        if safety_el is not None:
+            safety = SafetyController(
+                soft_lower_limit=float(safety_el.get("soft_lower_limit", 0.0)),
+                soft_upper_limit=float(safety_el.get("soft_upper_limit", 0.0)),
+                k_position=float(safety_el.get("k_position", 0.0)),
+                k_velocity=float(safety_el.get("k_velocity", 0.0)),
+            )
+        calibration = None
+        cal_el = el.find("calibration")
+        if cal_el is not None:
+            rising, falling = cal_el.get("rising"), cal_el.get("falling")
+            calibration = JointCalibration(
+                rising=float(rising) if rising is not None else None,
+                falling=float(falling) if falling is not None else None,
+            )
         return Joint(
             name=el.get("name", ""),
             joint_type=jtype,
@@ -246,4 +277,45 @@ class URDFParser:
             limit=limit,
             dynamics=dynamics,
             mimic=mimic,
+            safety_controller=safety,
+            calibration=calibration,
+        )
+
+    def _parse_transmission(self, el: ET.Element) -> Transmission:
+        """<transmission> -> :class:`Transmission` (reference
+        ``urdf/parser.py:793-860``): type from a <type> child or ``type``
+        attribute; nameless joints/actuators skipped; hardware interfaces
+        from <hardwareInterface> children."""
+        type_el = el.find("type")
+        trans_type = (
+            type_el.text.strip()
+            if type_el is not None and type_el.text
+            else el.get("type", "")
+        )
+
+        def hw_interface(parent: ET.Element) -> Optional[str]:
+            hw = parent.find("hardwareInterface")
+            return hw.text.strip() if hw is not None and hw.text else None
+
+        joints = [
+            TransmissionJoint(name=j.get("name"), hardware_interface=hw_interface(j))
+            for j in el.findall("joint")
+            if j.get("name")
+        ]
+        actuators = [
+            Actuator(
+                name=a.get("name"),
+                mechanical_reduction=float(
+                    a.find("mechanicalReduction").text.strip()
+                    if a.find("mechanicalReduction") is not None
+                    and a.find("mechanicalReduction").text
+                    else a.get("mechanicalReduction", 1.0)
+                ),
+                hardware_interface=hw_interface(a),
+            )
+            for a in el.findall("actuator")
+            if a.get("name")
+        ]
+        return Transmission(
+            name=el.get("name", ""), type=trans_type, joints=joints, actuators=actuators
         )

@@ -31,6 +31,11 @@ __all__ = [
     "JointLimit",
     "JointDynamics",
     "JointMimic",
+    "SafetyController",
+    "JointCalibration",
+    "Actuator",
+    "TransmissionJoint",
+    "Transmission",
     "Joint",
 ]
 
@@ -42,6 +47,23 @@ class JointType(Enum):
     FIXED = "fixed"
     FLOATING = "floating"
     PLANAR = "planar"
+
+
+def _quat_to_rotation(q: np.ndarray) -> np.ndarray:
+    """[qx, qy, qz, qw] -> 3x3 rotation; normalized, identity for ~zero
+    quaternions (reference ``urdf/types.py:714-748``)."""
+    qx, qy, qz, qw = (float(x) for x in q)
+    norm = np.sqrt(qx * qx + qy * qy + qz * qz + qw * qw)
+    if norm < 1e-10:
+        return np.eye(3)
+    qx, qy, qz, qw = qx / norm, qy / norm, qz / norm, qw / norm
+    return np.array(
+        [
+            [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw), 2 * (qx * qz + qy * qw)],
+            [2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qx * qw)],
+            [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw), 1 - 2 * (qx * qx + qy * qy)],
+        ]
+    )
 
 
 def _rpy_matrix(rpy: np.ndarray) -> np.ndarray:
@@ -197,6 +219,57 @@ class JointMimic:
 
 
 @dataclass
+class SafetyController:
+    """<safety_controller> element: soft position limits and the
+    position/velocity gains enforcing them (reference
+    ``urdf/types.py:514-520``)."""
+
+    soft_lower_limit: float = 0.0
+    soft_upper_limit: float = 0.0
+    k_position: float = 0.0
+    k_velocity: float = 0.0
+
+
+@dataclass
+class JointCalibration:
+    """<calibration> element: rising/falling reference positions
+    (reference ``urdf/types.py:523-527``)."""
+
+    rising: Optional[float] = None
+    falling: Optional[float] = None
+
+
+@dataclass
+class Actuator:
+    """<actuator> child of a transmission (reference
+    ``urdf/types.py:535-540``)."""
+
+    name: str
+    mechanical_reduction: float = 1.0
+    hardware_interface: Optional[str] = None
+
+
+@dataclass
+class TransmissionJoint:
+    """<joint> child of a transmission (reference
+    ``urdf/types.py:544-548``)."""
+
+    name: str
+    hardware_interface: Optional[str] = None
+
+
+@dataclass
+class Transmission:
+    """<transmission> element linking actuators to joints (reference
+    ``urdf/types.py:552-571``)."""
+
+    name: str
+    type: str = ""
+    joints: List[TransmissionJoint] = field(default_factory=list)
+    actuators: List[Actuator] = field(default_factory=list)
+
+
+@dataclass
 class Joint:
     """<joint> element (reference ``urdf/types.py:641-841``)."""
 
@@ -209,6 +282,8 @@ class Joint:
     limit: Optional[JointLimit] = None
     dynamics: Optional[JointDynamics] = None
     mimic: Optional[JointMimic] = None
+    safety_controller: Optional[SafetyController] = None
+    calibration: Optional[JointCalibration] = None
 
     def __post_init__(self):
         self.axis = np.asarray(self.axis, dtype=np.float64).reshape(3)
@@ -221,9 +296,17 @@ class Joint:
             JointType.PRISMATIC,
         ) and self.mimic is None
 
-    def child_pose(self, value: float = 0.0) -> np.ndarray:
+    def child_pose(self, value=0.0) -> np.ndarray:
         """Parent-link -> child-link transform at joint value ``value``
-        (reference ``Joint.get_child_pose``, ``urdf/types.py:641-748``)."""
+        (reference ``Joint.get_child_pose``, ``urdf/types.py:641-748``).
+
+        ``value`` is a scalar for revolute/continuous (rad) and prismatic
+        (m); for planar joints it is ``[x, y, theta]`` (in-plane
+        translation + rotation about the joint z axis) and for floating
+        joints ``[x, y, z, qx, qy, qz, qw]`` (position + quaternion),
+        matching the reference's configuration conventions. Scalars (or
+        short arrays) fill the leading components, rest zero/identity.
+        """
         T = self.origin.matrix
         if self.joint_type in (JointType.REVOLUTE, JointType.CONTINUOUS):
             axis = self.axis / (np.linalg.norm(self.axis) or 1.0)
@@ -241,5 +324,23 @@ class Joint:
         if self.joint_type == JointType.PRISMATIC:
             Tj = np.eye(4)
             Tj[:3, 3] = self.axis / (np.linalg.norm(self.axis) or 1.0) * value
+            return T @ Tj
+        if self.joint_type == JointType.PLANAR:
+            v = np.atleast_1d(np.asarray(value, dtype=np.float64)).ravel()
+            Tj = np.eye(4)
+            if v.size >= 2:
+                Tj[0, 3], Tj[1, 3] = v[0], v[1]
+            if v.size >= 3:
+                c, s = np.cos(v[2]), np.sin(v[2])
+                Tj[0, 0], Tj[0, 1] = c, -s
+                Tj[1, 0], Tj[1, 1] = s, c
+            return T @ Tj
+        if self.joint_type == JointType.FLOATING:
+            v = np.atleast_1d(np.asarray(value, dtype=np.float64)).ravel()
+            Tj = np.eye(4)
+            if v.size >= 3:
+                Tj[:3, 3] = v[:3]
+            if v.size >= 7:
+                Tj[:3, :3] = _quat_to_rotation(v[3:7])
             return T @ Tj
         return T

@@ -71,6 +71,7 @@ class URDFValidator:
         self._check_limits(robot, res)
         self._check_inertials(robot, res)
         self._check_mimics(robot, res)
+        self._check_transmissions(robot, res)
         return res
 
     # -- individual passes -----------------------------------------------------
@@ -237,6 +238,44 @@ class URDFValidator:
                 )
             elif j.mimic.joint == j.name:
                 res.add(Severity.ERROR, "self_mimic", f"Joint {j.name!r} mimics itself", j.name)
+
+    def _check_transmissions(self, robot: ParsedRobot, res: ValidationResult) -> None:
+        """Transmission sanity (reference ``validation.py:328-360``):
+        empty joint/actuator lists and dangling joint references warn;
+        additionally a non-positive mechanical reduction is flagged."""
+        for t in getattr(robot, "transmissions", []):
+            tname = t.name or "<unnamed>"
+            if not t.joints:
+                res.add(
+                    Severity.WARNING,
+                    "transmission_no_joints",
+                    f"Transmission {tname!r} has no joints",
+                    tname,
+                )
+            if not t.actuators:
+                res.add(
+                    Severity.WARNING,
+                    "transmission_no_actuators",
+                    f"Transmission {tname!r} has no actuators",
+                    tname,
+                )
+            for tj in t.joints:
+                if tj.name not in robot.joint_map:
+                    res.add(
+                        Severity.WARNING,
+                        "transmission_unknown_joint",
+                        f"Transmission {tname!r} references unknown joint {tj.name!r}",
+                        tname,
+                    )
+            for act in t.actuators:
+                if act.mechanical_reduction <= 0:
+                    res.add(
+                        Severity.WARNING,
+                        "transmission_bad_reduction",
+                        f"Transmission {tname!r} actuator {act.name!r} has "
+                        f"non-positive mechanical reduction {act.mechanical_reduction}",
+                        tname,
+                    )
 
 
 def validate(robot: ParsedRobot) -> ValidationResult:

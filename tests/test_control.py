@@ -143,6 +143,27 @@ class TestTuningMetrics:
         assert (float(Kp), float(Ki), float(Kd)) == (5.0, 0.0, 0.0)
         with pytest.raises(ValueError):
             control.ziegler_nichols_tuning(1.0, 1.0, "LQR")
+        # PI row matches the reference's table exactly (control.py:961):
+        # Ki = 1.2 * Ku / Tu (NOT 1.2 * Kp / Tu).
+        Kp, Ki, Kd = control.ziegler_nichols_tuning(10.0, 2.0, "PI")
+        assert float(Kp) == pytest.approx(4.5)
+        assert float(Ki) == pytest.approx(6.0)
+        assert float(Kd) == 0.0
+
+    def test_tu_validation(self):
+        """Reference control.py:952-958: PI/PID reject Tu <= 0 / non-finite."""
+        for bad in (0.0, -1.0, float("nan"), float("inf")):
+            with pytest.raises(ValueError):
+                control.ziegler_nichols_tuning(10.0, bad, "PID")
+        # P-only tuning never touches Tu.
+        control.ziegler_nichols_tuning(10.0, 0.0, "P")
+
+    def test_tune_controller_broadcast(self):
+        Kp, Ki, Kd = control.tune_controller(10.0, 2.0, "PID", n=6)
+        assert Kp.shape == Ki.shape == Kd.shape == (6,)
+        np.testing.assert_allclose(np.asarray(Kp), 6.0)
+        with pytest.raises(ValueError):
+            control.tune_controller(10.0, 0.0, "PID")
 
     def test_step_metrics_on_synthetic_response(self):
         """Second-order-ish response with known overshoot."""

@@ -367,3 +367,140 @@ class TestScene:
         scene.add_robot("a", rr)
         with pytest.raises(ValueError):
             scene.add_robot("a", rr)
+
+
+# -- URDF element tail: transmissions, safety, calibration, floating/planar ----
+
+TAIL_URDF = """
+<robot name="tail">
+  <link name="world"/>
+  <link name="body">
+    <inertial><mass value="5.0"/><inertia ixx="0.1" iyy="0.1" izz="0.1" ixy="0" ixz="0" iyz="0"/></inertial>
+  </link>
+  <link name="slider">
+    <inertial><mass value="1.0"/><inertia ixx="0.01" iyy="0.01" izz="0.01" ixy="0" ixz="0" iyz="0"/></inertial>
+  </link>
+  <link name="tip">
+    <inertial><mass value="0.5"/><inertia ixx="0.01" iyy="0.01" izz="0.01" ixy="0" ixz="0" iyz="0"/></inertial>
+  </link>
+  <joint name="free" type="floating">
+    <parent link="world"/><child link="body"/>
+    <origin xyz="0 0 0.5"/>
+  </joint>
+  <joint name="plane" type="planar">
+    <parent link="body"/><child link="slider"/>
+    <origin xyz="0.1 0 0"/><axis xyz="0 0 1"/>
+  </joint>
+  <joint name="elbow" type="revolute">
+    <parent link="slider"/><child link="tip"/>
+    <origin xyz="0 0 0.2"/><axis xyz="0 1 0"/>
+    <limit lower="-1.5" upper="1.5" effort="40" velocity="2.0"/>
+    <safety_controller soft_lower_limit="-1.4" soft_upper_limit="1.4" k_position="15" k_velocity="10"/>
+    <calibration rising="0.25"/>
+  </joint>
+  <transmission name="elbow_trans">
+    <type>transmission_interface/SimpleTransmission</type>
+    <joint name="elbow">
+      <hardwareInterface>hardware_interface/EffortJointInterface</hardwareInterface>
+    </joint>
+    <actuator name="elbow_motor">
+      <mechanicalReduction>50</mechanicalReduction>
+      <hardwareInterface>hardware_interface/EffortJointInterface</hardwareInterface>
+    </actuator>
+  </transmission>
+</robot>
+"""
+
+
+class TestURDFElementTail:
+    """Transmission / safety_controller / calibration parsing and
+    floating/planar child poses (reference ``urdf/parser.py:666-860``,
+    ``urdf/types.py:641-748``)."""
+
+    def test_transmission_parsed(self):
+        u = URDF.from_string(TAIL_URDF)
+        assert len(u.transmissions) == 1
+        t = u.transmissions[0]
+        assert t.name == "elbow_trans"
+        assert t.type == "transmission_interface/SimpleTransmission"
+        assert [tj.name for tj in t.joints] == ["elbow"]
+        assert t.joints[0].hardware_interface == "hardware_interface/EffortJointInterface"
+        assert t.actuators[0].name == "elbow_motor"
+        assert t.actuators[0].mechanical_reduction == 50.0
+
+    def test_safety_and_calibration_parsed(self):
+        u = URDF.from_string(TAIL_URDF)
+        j = u.robot.joint_map["elbow"]
+        sc = j.safety_controller
+        assert sc is not None
+        assert (sc.soft_lower_limit, sc.soft_upper_limit) == (-1.4, 1.4)
+        assert (sc.k_position, sc.k_velocity) == (15.0, 10.0)
+        assert j.calibration is not None
+        assert j.calibration.rising == 0.25
+        assert j.calibration.falling is None
+
+    def test_floating_child_pose_quaternion(self):
+        u = URDF.from_string(TAIL_URDF)
+        j = u.robot.joint_map["free"]
+        # 90 deg about z as quaternion [qx qy qz qw].
+        s = np.sin(np.pi / 4)
+        T = j.child_pose([1.0, 2.0, 3.0, 0.0, 0.0, s, np.cos(np.pi / 4)])
+        np.testing.assert_allclose(T[:3, 3], [1.0, 2.0, 3.5], atol=1e-12)  # + origin z
+        Rz90 = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], dtype=float)
+        np.testing.assert_allclose(T[:3, :3], Rz90, atol=1e-12)
+
+    def test_floating_scalar_defaults_identity(self):
+        u = URDF.from_string(TAIL_URDF)
+        j = u.robot.joint_map["free"]
+        np.testing.assert_allclose(j.child_pose(0.0), j.origin.matrix, atol=1e-15)
+
+    def test_planar_child_pose(self):
+        u = URDF.from_string(TAIL_URDF)
+        j = u.robot.joint_map["plane"]
+        T = j.child_pose([0.3, -0.2, np.pi / 2])
+        np.testing.assert_allclose(T[:3, 3], [0.4, -0.2, 0.0], atol=1e-12)  # + origin x
+        np.testing.assert_allclose(T[0, 0], 0.0, atol=1e-12)
+        np.testing.assert_allclose(T[1, 0], 1.0, atol=1e-12)
+
+    def test_link_fk_through_floating_chain(self):
+        """FK across floating/planar joints at zero config matches the
+        chained origins (no crash, no fixed-joint misinterpretation)."""
+        u = URDF.from_string(TAIL_URDF)
+        fk = u.link_fk({})
+        np.testing.assert_allclose(fk["tip"][:3, 3], [0.1, 0, 0.7], atol=1e-12)
+
+    def test_xml_roundtrip_preserves_tail(self):
+        u = URDF.from_string(TAIL_URDF)
+        xml = urdf_to_xml(u.robot)
+        u2 = URDF.from_string(xml)
+        t1, t2 = u.transmissions[0], u2.transmissions[0]
+        assert (t1.name, t1.type) == (t2.name, t2.type)
+        assert t1.actuators[0].mechanical_reduction == t2.actuators[0].mechanical_reduction
+        assert t1.joints[0].hardware_interface == t2.joints[0].hardware_interface
+        j1 = u.robot.joint_map["elbow"]
+        j2 = u2.robot.joint_map["elbow"]
+        assert j1.safety_controller == j2.safety_controller
+        assert j1.calibration == j2.calibration
+
+    def test_modifier_preserves_transmissions(self):
+        u = URDF.from_string(TAIL_URDF)
+        mod = URDFModifier(u)
+        mod.set_link_mass("tip", 0.7)
+        out = URDF.from_string(mod.to_xml()) if hasattr(mod, "to_xml") else URDF.from_string(urdf_to_xml(mod.robot))
+        assert len(out.transmissions) == 1
+
+    def test_validator_transmission_checks(self):
+        bad = TAIL_URDF.replace('joint name="elbow">', 'joint name="ghost">')
+        res = validate(URDFParser().parse_string(bad))
+        codes = {i.code for i in res.issues}
+        assert "transmission_unknown_joint" in codes
+        good = validate(URDFParser().parse_string(TAIL_URDF))
+        assert not any(i.code.startswith("transmission") for i in good.issues)
+
+    def test_validator_empty_transmission_warns(self):
+        doc = TAIL_URDF.replace(
+            '<joint name="elbow">\n      <hardwareInterface>hardware_interface/EffortJointInterface</hardwareInterface>\n    </joint>',
+            "",
+        )
+        res = validate(URDFParser().parse_string(doc))
+        assert "transmission_no_joints" in {i.code for i in res.issues}
