@@ -8,6 +8,8 @@ from .costs import (
     obstacle_cost,
     make_tracking_costs,
 )
+from .fused import TrackingMPC, build_tracking_mpc
+from .fused_batch import BatchTrackingMPC, build_batch_tracking_mpc
 
 __all__ = [
     "ILQRParams",
@@ -15,6 +17,10 @@ __all__ = [
     "ilqr",
     "make_step_fn",
     "mpc_step",
+    "TrackingMPC",
+    "build_tracking_mpc",
+    "BatchTrackingMPC",
+    "build_batch_tracking_mpc",
     "quadratic_tracking_cost",
     "pose_tracking_cost",
     "obstacle_cost",

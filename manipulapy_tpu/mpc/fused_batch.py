@@ -65,6 +65,11 @@ class BatchTrackingMPC(NamedTuple):
     horizon: int
     n: int
     batch: int
+    # The four Pallas pipeline stages, exposed for benchmarks/tests.
+    linearize: callable = None
+    backward: callable = None
+    linesearch_costs: callable = None
+    replay: callable = None
 
 
 def _chol_solve_tiles(M, rhs_cols):
@@ -438,7 +443,7 @@ def build_batch_tracking_mpc(
             cost_ref[0, 0] = acc_s[0] + _terminal([x_s[i] for i in range(nx)], goal)
 
     @jax.jit
-    def linesearch_costs(x0_t, sd_x, sd_u, kK, alphas):
+    def linesearch_costs(x0_t, sd_x, sd_u, kK, goal_t, alphas):
         """Score every alpha for every scenario: -> (Bt, A, 8, 128)."""
         return pl.pallas_call(
             cost_kernel,
@@ -460,7 +465,7 @@ def build_batch_tracking_mpc(
                 pltpu.VMEM((1, _SUB, _LANE), jnp.float32),
             ],
             interpret=interpret,
-        )(x0_t, sd_x, sd_u, kK, goal_tiles_c, alphas)
+        )(x0_t, sd_x, sd_u, kK, goal_t, alphas)
 
     def replay_kernel(x0_ref, sd_x_ref, sd_u_ref, kK_ref, goal_ref, alpha_ref,
                       xs_ref, us_ref, cost_ref, x_s, acc_s):
@@ -491,7 +496,7 @@ def build_batch_tracking_mpc(
             cost_ref[0, 0] = acc_s[0] + _terminal([x_s[i] for i in range(nx)], goal)
 
     @jax.jit
-    def replay(x0_t, sd_x, sd_u, kK, alpha_t):
+    def replay(x0_t, sd_x, sd_u, kK, goal_t, alpha_t):
         """Roll the per-scenario alpha closed-loop; -> (xs_post (Bt, H,
         nx, 8, 128), us (Bt, H, n, 8, 128), cost (Bt, 1, 8, 128))."""
         return pl.pallas_call(
@@ -520,15 +525,17 @@ def build_batch_tracking_mpc(
                 pltpu.VMEM((1, _SUB, _LANE), jnp.float32),
             ],
             interpret=interpret,
-        )(x0_t, sd_x, sd_u, kK, goal_tiles_c, alpha_t)
+        )(x0_t, sd_x, sd_u, kK, goal_t, alpha_t)
 
     alphas_np = 0.5 ** np.arange(A, dtype=np.float32)
 
     # ---------------- solver loop -------------------------------------------
+    # Goals are a runtime ARGUMENT (staged tiles), not a baked constant:
+    # a fleet re-targets every horizon, and constants would force a full
+    # recompile per goal set (compiles are never cached on the tunnelled
+    # chip — measured 15-400 s each).
     @jax.jit
-    def solve(x0, us_init):
-        if x0.shape[0] != B:
-            raise ValueError(f"x0 batch {x0.shape[0]} != declared batch {B}")
+    def solve_impl(x0, us_init, goal_tiles):
         u_lim_j = jnp.asarray(u_lim, jnp.float32)
         us0 = jnp.clip(us_init.astype(jnp.float32), -u_lim_j, u_lim_j)
         x0p = jnp.concatenate(
@@ -545,7 +552,7 @@ def build_batch_tracking_mpc(
         # Initial rollout: alpha = 0, zero gains == open-loop us0.
         sd_u0 = stage_seq(us0p)
         sd_x0 = jnp.zeros((Bt, H, nx, _SUB, _LANE), jnp.float32)
-        xs_post, us_cur, cost_t = replay(x0_t, sd_x0, sd_u0, kK0, zeros_tile)
+        xs_post, us_cur, cost_t = replay(x0_t, sd_x0, sd_u0, kK0, goal_tiles, zeros_tile)
         cost_t = cost_t[:, 0]  # (Bt, 8, 128)
 
         def iteration(carry, _):
@@ -554,8 +561,8 @@ def build_batch_tracking_mpc(
             sd_x = jnp.concatenate([x0_t[:, None], xs_post[:, :-1]], axis=1)
             AB = linearize(sd_x, us_cur)
             xlast_t = xs_post[:, -1]  # (Bt, nx, 8, 128)
-            kK = backward(AB, sd_x, us_cur, xlast_t, goal_tiles_c, reg_t)
-            costs_all = linesearch_costs(x0_t, sd_x, us_cur, kK, alphas_c)
+            kK = backward(AB, sd_x, us_cur, xlast_t, goal_tiles, reg_t)
+            costs_all = linesearch_costs(x0_t, sd_x, us_cur, kK, goal_tiles, alphas_c)
             # Per-scenario first improving alpha (alphas descend from 1).
             improving = jnp.logical_and(
                 jnp.isfinite(costs_all), costs_all < cost_t[:, None]
@@ -564,7 +571,7 @@ def build_batch_tracking_mpc(
             accepted = jnp.any(improving, axis=1)
             alpha_sel = jnp.where(accepted, jnp.asarray(alphas_np)[idx], 0.0)
             xs_new, us_new, cost_new = replay(
-                x0_t, sd_x, us_cur, kK, alpha_sel[:, None]
+                x0_t, sd_x, us_cur, kK, goal_tiles, alpha_sel[:, None]
             )
             cost_new = cost_new[:, 0]
             # alpha = 0 retraces the nominal trajectory; guard cost against
@@ -587,4 +594,23 @@ def build_batch_tracking_mpc(
         cost = cost_t.reshape(Bp)[:B]
         return unstage_seq(us_cur), xs_full, cost
 
-    return BatchTrackingMPC(solve=solve, horizon=H, n=n, batch=B)
+    def solve(x0, us_init, q_goal_new=None):
+        """Solve the batch. ``q_goal_new`` (B, n) re-targets every
+        scenario WITHOUT recompiling (goals ride a staged argument)."""
+        if x0.shape[0] != B:
+            raise ValueError(f"x0 batch {x0.shape[0]} != declared batch {B}")
+        if q_goal_new is None:
+            goal_t = goal_tiles_c
+        else:
+            gp = jnp.concatenate(
+                [jnp.asarray(q_goal_new, jnp.float32), jnp.zeros((pad, n), jnp.float32)],
+                axis=0,
+            )
+            goal_t = stage_state(gp)
+        return solve_impl(x0, us_init, goal_t)
+
+    return BatchTrackingMPC(
+        solve=solve, horizon=H, n=n, batch=B,
+        linearize=linearize, backward=backward,
+        linesearch_costs=linesearch_costs, replay=replay,
+    )

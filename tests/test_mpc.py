@@ -325,3 +325,60 @@ class TestFusedTrackingMPC:
 
         A_pl = jax.vmap(jax.jacfwd(step_vec, 0))(xs, us)
         np.testing.assert_allclose(np.asarray(A_pl), np.asarray(A_ref), atol=1e-5)
+
+
+class TestBatchFusedMPC:
+    """Batched fused solver (mpc/fused_batch.py): scenarios on the
+    (8, 128) tile axes, per-scenario goals/line-search/regularization.
+    Parity bar: each scenario matches an independent generic iLQR solve."""
+
+    def test_matches_generic_per_scenario(self):
+        from manipulapy_tpu.models import catalog
+        from manipulapy_tpu.mpc import ILQRParams, ilqr, make_step_fn, make_tracking_costs
+        from manipulapy_tpu.mpc.fused_batch import build_batch_tracking_mpc
+
+        model = catalog.two_link_planar(dtype=jnp.float32)
+        H, dt, iters, B = 20, 0.02, 4, 3
+        rng = np.random.default_rng(0)
+        x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 4)), jnp.float32)
+        goals = jnp.asarray(rng.uniform(-0.8, 0.8, (B, 2)), jnp.float32)
+
+        mpc = build_batch_tracking_mpc(
+            model, goals, B, H, dt, iterations=iters, interpret=True
+        )
+        us_b, xs_b, cost_b = mpc.solve(x0s, jnp.zeros((B, H, 2), jnp.float32))
+        assert us_b.shape == (B, H, 2) and xs_b.shape == (B, H + 1, 4)
+
+        step_fn = make_step_fn(model, dt)
+        for s in range(B):
+            running, terminal = make_tracking_costs(model, goals[s])
+            res = ilqr(
+                step_fn, running, terminal, x0s[s], jnp.zeros((H, 2), jnp.float32),
+                ILQRParams(horizon=H, dt=dt, iterations=iters),
+            )
+            np.testing.assert_allclose(float(cost_b[s]), float(res.cost), rtol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(xs_b[s, -1]), np.asarray(res.xs[-1]), atol=5e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(us_b[s]), np.asarray(res.us), atol=5e-3
+            )
+
+    def test_shared_goal_and_torque_limits(self):
+        from manipulapy_tpu.models import catalog
+        from manipulapy_tpu.mpc.fused_batch import build_batch_tracking_mpc
+
+        model = catalog.two_link_planar(dtype=jnp.float32)
+        B, H = 2, 12
+        mpc = build_batch_tracking_mpc(
+            model, jnp.asarray([1.0, 0.3], jnp.float32), B, H, 0.02,
+            iterations=3, u_limit=jnp.asarray([3.0, 2.0]), interpret=True,
+        )
+        x0s = jnp.zeros((B, 4), jnp.float32).at[1, 0].set(0.2)
+        us, xs, cost = mpc.solve(x0s, jnp.zeros((B, H, 2), jnp.float32))
+        assert float(jnp.max(jnp.abs(us[:, :, 0]))) <= 3.0 + 1e-5
+        assert float(jnp.max(jnp.abs(us[:, :, 1]))) <= 2.0 + 1e-5
+        # Different initial states must give different solutions.
+        assert float(jnp.max(jnp.abs(us[0] - us[1]))) > 1e-4
+        # And both scenarios make progress toward the goal.
+        assert float(jnp.abs(xs[0, -1, 0] - 1.0)) < float(jnp.abs(xs[0, 0, 0] - 1.0))
