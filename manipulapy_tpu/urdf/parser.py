@@ -302,15 +302,26 @@ class URDFParser:
             for j in el.findall("joint")
             if j.get("name")
         ]
+
+        def reduction(a: ET.Element) -> float:
+            # Non-numeric values exist in shipped URDFs (the vendored xarm
+            # gripper has literal '<mechanicalReduction>reduction</...>');
+            # the reference defaults those to 1.0 (urdf/parser.py:847-853).
+            mech = a.find("mechanicalReduction")
+            raw = (
+                mech.text.strip()
+                if mech is not None and mech.text
+                else a.get("mechanicalReduction", "1.0")
+            )
+            try:
+                return float(raw)
+            except ValueError:
+                return 1.0
+
         actuators = [
             Actuator(
                 name=a.get("name"),
-                mechanical_reduction=float(
-                    a.find("mechanicalReduction").text.strip()
-                    if a.find("mechanicalReduction") is not None
-                    and a.find("mechanicalReduction").text
-                    else a.get("mechanicalReduction", 1.0)
-                ),
+                mechanical_reduction=reduction(a),
                 hardware_interface=hw_interface(a),
             )
             for a in el.findall("actuator")

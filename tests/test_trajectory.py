@@ -253,3 +253,57 @@ class TestForwardDynamicsTrajectorySlow:
         )
         # Euler integration error dominates; tolerance is integration-level.
         np.testing.assert_allclose(np.asarray(qs[-1]), np.asarray(traj.position[-2]), atol=5e-3)
+
+
+class TestF32GripperChainRollout:
+    """f32 rollout trustworthiness on the worst-conditioned chain
+    (jaco_7dof: mass-matrix diagonal spans 1e-5..1.5, cond ~5e5 — the
+    round-3 silent-error robots). Through the public rollout semantics
+    (position AND velocity clamps, ``path_planning.py:1492-1503``) an f32
+    trajectory must track the f64 oracle; the per-state ddq accuracy
+    itself is gated norm-wise in ``benchmarks/reference_parity.py``
+    (F32_FWD_SCALED_TOL) and the solver-variant evidence lives in
+    ``benchmarks/f32_conditioning_study.py``."""
+
+    def test_jaco_f32_tracks_f64_with_clamps(self):
+        from manipulapy_tpu import dynamics as dyn
+        from manipulapy_tpu.models.robot_data import load_robot
+
+        m64 = load_robot("jaco_7dof", dtype=jnp.float64)
+        m32 = load_robot("jaco_7dof", dtype=jnp.float32)
+        n = int(m64.num_joints)
+        rng = np.random.default_rng(7)
+        q0 = rng.uniform(-0.3, 0.3, n)
+        g64 = jnp.asarray([0.0, 0.0, -9.81])
+        tau_g = np.asarray(dyn.gravity_forces(m64, jnp.asarray(q0), g64))
+        N, dt = 25, 0.005
+        taus = tau_g[None, :] + 0.2 * (np.abs(tau_g[None, :]) + 0.1) * np.sin(
+            2 * np.pi * 2 * np.arange(N)[:, None] * dt + np.arange(n)[None, :]
+        )
+
+        # Semi-implicit Euler with the engine's clamp placement; a step-
+        # level loop because the n=10 fused rollout program is too big for
+        # an XLA:CPU compile in the fast suite (engine<->generic parity is
+        # pinned separately on ur5 in TestRolloutDispatch).
+        def mk_step(m, g):
+            @jax.jit
+            def step(q, dq, tau):
+                ddq = dyn.forward_dynamics(m, q, dq, tau, g, jnp.zeros(6, m.dtype))
+                dq2 = jnp.clip(dq + ddq * dt, -m.velocity_limit, m.velocity_limit)
+                q2 = jnp.clip(q + dq2 * dt, m.joint_lower, m.joint_upper)
+                return q2, dq2
+
+            return step
+
+        step64 = mk_step(m64, g64)
+        step32 = mk_step(m32, jnp.asarray([0.0, 0.0, -9.81], jnp.float32))
+
+        q64, dq64 = jnp.asarray(q0), jnp.zeros(n)
+        q32, dq32 = jnp.asarray(q0, jnp.float32), jnp.zeros(n, jnp.float32)
+        for t in range(N):
+            q64, dq64 = step64(q64, dq64, jnp.asarray(taus[t]))
+            q32, dq32 = step32(q32, dq32, jnp.asarray(taus[t], jnp.float32))
+            # Measured divergence over 40 steps: q ~3e-7 rad, dq ~2.5e-5
+            # rad/s; gates give ~300x headroom.
+            assert float(jnp.abs(q32.astype(jnp.float64) - q64).max()) < 1e-4
+            assert float(jnp.abs(dq32.astype(jnp.float64) - dq64).max()) < 1e-2
