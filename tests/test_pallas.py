@@ -157,3 +157,71 @@ class TestDispatch:
         taus = jnp.zeros((8, 5, 6), jnp.float32)
         qs, dqs, ddqs = roll(q0, q0, taus)
         assert qs.shape == (8, 5, 6)
+
+
+class TestTiledIO:
+    """tiled_io engine contract: bit-identical to the staged path (same
+    kernel, same blocks — only the XLA transposes are skipped) and
+    stage_batch/unstage_batch are exact inverses."""
+
+    def test_stage_unstage_roundtrip(self):
+        from manipulapy_tpu.ops.pallas_rollout import stage_batch, unstage_batch
+
+        rng = np.random.default_rng(0)
+        for shape in ((100, 6), (1500, 20, 6), (1024, 4)):
+            x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+            t = stage_batch(x)
+            assert t.shape[-2:] == (8, 128)
+            np.testing.assert_array_equal(
+                np.asarray(unstage_batch(t, shape[0])), np.asarray(x)
+            )
+
+    def _planar_data(self, B, N):
+        # 2-link planar keeps the interpret-mode XLA:CPU compiles cheap
+        # (each n=6 engine variant costs minutes to compile on the 2-vCPU
+        # CI host; cross-engine ur5 parity is covered by TestPallasRollout
+        # with a single engine build).
+        from manipulapy_tpu.models import catalog
+
+        model = catalog.two_link_planar(dtype=jnp.float32)
+        key = jax.random.PRNGKey(1)
+        k1, k2, k3 = jax.random.split(key, 3)
+        q0 = jax.random.uniform(k1, (B, 2), minval=-1, maxval=1, dtype=jnp.float32)
+        dq0 = jax.random.uniform(k2, (B, 2), minval=-0.5, maxval=0.5, dtype=jnp.float32)
+        taus = jax.random.uniform(k3, (B, N, 2), minval=-1, maxval=1, dtype=jnp.float32)
+        return model, q0, dq0, taus
+
+    def test_tiled_io_matches_staged(self):
+        from manipulapy_tpu.ops.pallas_rollout import (
+            build_pallas_rollout,
+            stage_batch,
+            unstage_batch,
+        )
+
+        B = 64
+        model, q0, dq0, taus = self._planar_data(B, 10)
+        staged = build_pallas_rollout(model, dt=0.01, interpret=True)
+        tiled = build_pallas_rollout(model, dt=0.01, interpret=True, tiled_io=True)
+        ref = staged(q0, dq0, taus)
+        out = tiled(stage_batch(q0), stage_batch(dq0), stage_batch(taus))
+        for a, b in zip(ref, out):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(unstage_batch(b, B)))
+
+    def test_time_tile_any_divisor_matches(self):
+        """Different time tiles = identical math; agreement is f32
+        roundoff (state round-trips scratch at different points, and a
+        1-ulp seed amplifies through the dynamics — hence mild torques
+        and roundoff-scale tolerances, not bit equality)."""
+        from manipulapy_tpu.ops.pallas_rollout import build_pallas_rollout
+
+        model, q0, dq0, taus = self._planar_data(8, 6)
+        ref = build_pallas_rollout(model, dt=0.01, interpret=True, time_tile=1)(q0, dq0, taus)
+        for tt in (3, 6):
+            out = build_pallas_rollout(model, dt=0.01, interpret=True, time_tile=tt)(q0, dq0, taus)
+            np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(out[0]), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(out[1]), atol=1e-4)
+            np.testing.assert_allclose(
+                np.asarray(ref[2]), np.asarray(out[2]), rtol=1e-4, atol=1e-2
+            )
+        with pytest.raises(ValueError):
+            build_pallas_rollout(model, dt=0.01, interpret=True, time_tile=5)(q0, dq0, taus)
