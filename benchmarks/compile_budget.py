@@ -6,12 +6,13 @@ solver that takes minutes to build is a different tool from one that
 builds in seconds. This benchmark measures the cold/warm compile time of
 every flagship program and gates them against budgets:
 
-| program                          | budget (cold) |
-|----------------------------------|---------------|
-| fused MPC build + first solve    | 60 s          |
-| generic ilqr (hybrid linearize)  | 180 s         |
-| fd rollout engines (cgen/Pallas) | 30 s          |
-| batched IK solve                 | 60 s          |
+| program                            | budget (cold) |
+|------------------------------------|---------------|
+| fused MPC build + first solve      | 60 s (median of 3) |
+| batched fused MPC build + solve    | 120 s (median of 3) |
+| generic ilqr (hybrid linearize)    | 180 s         |
+| fd rollout engines (cgen/Pallas)   | 30 s          |
+| batched IK solve                   | 60 s          |
 
 "Cold" here = this process, persistent cache enabled (the shipped
 default — ``JAX_COMPILATION_CACHE_DIR``); run twice to see the warm
@@ -34,6 +35,7 @@ from benchmarks.common import setup_backend, write_artifact  # noqa: E402
 
 BUDGETS_S = {
     "fused_mpc_build_first_solve": 60.0,
+    "fused_batch_mpc_build_first_solve": 120.0,
     "generic_ilqr_hybrid": 180.0,
     "rollout_cgen": 30.0,
     "rollout_pallas": 30.0,
@@ -67,17 +69,27 @@ def run():
     jax.block_until_ready(jax.jit(lambda x: x * 2.0 + 1.0)(jnp.ones((256, 256))))
     warmup_s = time.perf_counter() - t0
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        secs = time.perf_counter() - t0
+    def timed(name, fn, reps=1):
+        """Gate on the MEDIAN of ``reps`` fresh builds (every raw value
+        recorded): the remote compile service's latency varies ~30x with
+        load, and a single draw gated round 3 red on what the medians
+        show is service noise (58.5 / 7.4 / 7.7 s for the same build)."""
+        import statistics
+
+        raw = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(i))
+            raw.append(round(time.perf_counter() - t0, 2))
+        secs = statistics.median(raw)
         budget = BUDGETS_S[name]
         results[name] = {
             "seconds": round(secs, 2),
+            "raw_seconds": raw,
             "budget_s": budget,
             "pass": bool(secs <= budget),
         }
-        print(f"  {name}: {secs:.1f}s (budget {budget:.0f}s) "
+        print(f"  {name}: median {secs:.1f}s of {raw} (budget {budget:.0f}s) "
               f"{'OK' if secs <= budget else 'OVER'}")
 
     panda = robot_data.load_robot("panda", tip_link="panda_hand", chain_joints_only=True)
@@ -86,13 +98,30 @@ def run():
     x0 = jnp.zeros(2 * n, jnp.float32)
     us0 = jnp.zeros((H, n), jnp.float32)
 
-    def fused():
+    def fused(i):
         import numpy as _np
-        mpc = build_tracking_mpc(panda, _np.zeros(n) + 0.3, horizon=H, dt=0.01,
-                                 iterations=4)
+        # Perturb the baked goal per rep so every build is a genuinely
+        # fresh program (defeats any value-level compile caching).
+        mpc = build_tracking_mpc(panda, _np.zeros(n) + 0.3 + i * 1e-6,
+                                 horizon=H, dt=0.01, iterations=4)
         return mpc.solve(x0, us0)
 
-    timed("fused_mpc_build_first_solve", fused)
+    timed("fused_mpc_build_first_solve", fused, reps=3)
+
+    from manipulapy_tpu.mpc.fused_batch import build_batch_tracking_mpc
+
+    Bb = 1024
+    x0b = jnp.zeros((Bb, 2 * n), jnp.float32)
+    us0b = jnp.zeros((Bb, H, n), jnp.float32)
+
+    def fused_batch(i):
+        import numpy as _np
+        mpc = build_batch_tracking_mpc(
+            panda, _np.zeros(n) + 0.3 + i * 1e-6, Bb, H, dt=0.01, iterations=4
+        )
+        return mpc.solve(x0b, us0b)
+
+    timed("fused_batch_mpc_build_first_solve", fused_batch, reps=3)
 
     params = ILQRParams(horizon=H, dt=0.01, iterations=4, line_search_steps=6)
     step_fn = make_step_fn(panda, params.dt)
@@ -106,21 +135,21 @@ def run():
                    linearize_step_fn=lin_step)
         return res.cost
 
-    timed("generic_ilqr_hybrid", lambda: generic(x0, us0))
+    timed("generic_ilqr_hybrid", lambda i: generic(x0, us0))
 
     ur5 = catalog.ur5(dtype=jnp.float32)
     key = jax.random.PRNGKey(0)
     q0 = jax.random.uniform(key, (4096, 6), minval=-1, maxval=1, dtype=jnp.float32)
     taus = jnp.zeros((4096, 50, 6), jnp.float32)
     cg = build_rollout(ur5, dt=0.01, intRes=1)
-    timed("rollout_cgen", lambda: cg(q0, 0 * q0, taus))
+    timed("rollout_cgen", lambda i: cg(q0, 0 * q0, taus))
     pr = build_pallas_rollout(ur5, dt=0.01, intRes=1,
                               interpret=jax.default_backend() != "tpu")
-    timed("rollout_pallas", lambda: pr(q0, 0 * q0, taus))
+    timed("rollout_pallas", lambda i: pr(q0, 0 * q0, taus))
 
     qs = jax.random.uniform(key, (256, 6), minval=-1, maxval=1, dtype=jnp.float32)
     targets = jax.jit(jax.vmap(lambda q: forward_kinematics(ur5, q)))(qs)
-    timed("ik_batch", lambda: ik_mod.solve_ik_batch(ur5, targets, qs, max_iterations=300))
+    timed("ik_batch", lambda i: ik_mod.solve_ik_batch(ur5, targets, qs, max_iterations=300))
 
     return results
 
