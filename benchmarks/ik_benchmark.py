@@ -50,9 +50,10 @@ def run(num_targets: int = 50, seed: int = 0, robot: str = "ur5"):
     targets = jax.jit(jax.vmap(lambda q: forward_kinematics(model, q)))(q_true)
     guess0 = jnp.zeros(n, dtype=jnp.float32)
 
-    def bench(name, solve_one):
-        # Warm-up on the first target (compile), then timed loop.
-        solve_one(targets[0])
+    def host_loop(name, solve_one):
+        """Host-loop wall times: what a REMOTE caller sees (every solve
+        pays the tunnel round trip + per-strategy dispatch)."""
+        solve_one(targets[0])  # compile
         succ, lat, errs = 0, [], []
         for T in targets:
             t0 = time.perf_counter()
@@ -63,101 +64,85 @@ def run(num_targets: int = 50, seed: int = 0, robot: str = "ur5"):
                 errs.append(terr)
         lat_ms = np.asarray(lat) * 1e3
         return {
-            "solver": name,
             "success_rate": succ / num_targets,
-            "median_ms": float(np.median(lat_ms)),
-            "mean_ms": float(np.mean(lat_ms)),
-            "p95_ms": float(np.percentile(lat_ms, 95)),
+            "host_median_ms": float(np.median(lat_ms)),
+            "host_mean_ms": float(np.mean(lat_ms)),
+            "host_p95_ms": float(np.percentile(lat_ms, 95)),
             "max_pos_err": float(max(errs)) if errs else None,
         }
 
-    results = []
-
-    def _iterative(T):
-        # 3000-iteration budget ~ the reference's 10k default (its hard
-        # targets run seconds: mean 210 ms, p95 1.9 s, README.md:450-454);
-        # the while_loop exits early on convergence so typical solves pay
-        # ~100 iterations.
-        r = ik_mod.solve_ik(model, T, guess0, max_iterations=3000)
-        return bool(r.success), float(r.trans_err)
-
-    results.append(bench("iterative", _iterative))
-
-    cache = ik_cache.IKInitialGuessCache()
-
-    def _smart(T):
-        r = ik_cache.smart_ik(model, T, cache=cache, max_iterations=300)
-        return bool(r.success), float(r.trans_err)
-
-    results.append(bench("smart", _smart))
-
-    def _robust(T):
-        r = ik_cache.robust_ik(model, T, max_iterations=200)
-        return bool(r.success), float(r.trans_err)
-
-    results.append(bench("robust", _robust))
-
+    # Jit-compatible single-dispatch solve per family. Each family is
+    # ONE device program: iterative = the DLS core; smart = the whole
+    # strategy-chain race (heuristic/midpoint/random, batched); robust =
+    # the 10-entry parameter-schedule race; trac_ik = the dual-algorithm
+    # DLS+SQP round over the full guess stack.
     solver = trac_ik.TracIKSolver(model)
+    cache = ik_cache.IKInitialGuessCache()
+    family_fns = {
+        "iterative": lambda T: ik_mod.solve_ik(model, T, guess0, max_iterations=300),
+        "smart": lambda T: ik_cache.smart_ik(model, T, cache=None, max_iterations=300),
+        "robust": lambda T: ik_cache.robust_ik(model, T, max_iterations=200),
+        "trac_ik": lambda T: solver.solve_round(T),
+    }
+    # Host-loop configurations mirror the reference benchmark budgets
+    # (iterative gets the reference's effectively-unbounded budget).
+    host_rows = {
+        "iterative": host_loop("iterative", lambda T: (lambda r: (bool(r.success), float(r.trans_err)))(
+            ik_mod.solve_ik(model, T, guess0, max_iterations=3000))),
+        "smart": host_loop("smart", lambda T: (lambda r: (bool(r.success), float(r.trans_err)))(
+            ik_cache.smart_ik(model, T, cache=cache, max_iterations=300))),
+        "robust": host_loop("robust", lambda T: (lambda r: (bool(r.success), float(r.trans_err)))(
+            ik_cache.robust_ik(model, T, max_iterations=200))),
+        "trac_ik": host_loop("trac_ik", lambda T: (lambda r: (bool(r.success), float(r.trans_err)))(
+            solver.solve(T))),
+    }
 
-    def _trac(T):
-        r = solver.solve(T)
-        return bool(r.success), float(r.trans_err)
+    # PER-TARGET DEVICE TIME, the gate metric: chain the same solve k
+    # times with a data dependence (T nudged by the previous result; the
+    # 1e-12 perturbation underflows f32 so the math is identical, but XLA
+    # cannot CSE the calls) and take the (T(k2) - T(k1)) / (k2 - k1)
+    # difference quotient per target — the tunnel round trip (observed
+    # 0.05-24 ms/session) cancels exactly. Median/p95 across targets.
+    results = []
+    k_small, k_large = 2, 6
 
-    results.append(bench("trac_ik", _trac))
-
-    # True on-device single-solve latency: the host-loop numbers above
-    # fold the tunnelled host<->device round trip (observed 0.05-24 ms
-    # across sessions) plus dispatch into EVERY solve — they are what a
-    # remote caller sees, not what the chip spends. Chain solves on-device
-    # and take the difference quotient. Two variants:
-    #  * cold: every chained solve starts from guess0 (the data dependence
-    #    is a 1e-12-scaled carry fold, numerically inert) — apples-to-
-    #    apples with the host-loop rows, same per-solve iteration count;
-    #  * warm: each solve warm-starts from the previous solution (the
-    #    servo pattern) — fewer iterations per solve by construction, the
-    #    deployment number for a co-located control loop.
-    k_small = 5
-    k_large = max(k_small + 5, min(25, num_targets))
-    reps = -(-k_large // num_targets)  # ceil: tile targets when few
-    Ts_all = jnp.tile(targets, (reps, 1, 1))[:k_large]
-
-    def ik_chain(warm):
+    def device_rows(name, fn):
         def chain(k):
-            Ts = Ts_all[:k]
-
             @jax.jit
-            def run_chain():
-                def body(q_prev, T):
-                    guess = q_prev if warm else guess0 + 1e-12 * jnp.sum(q_prev)
-                    r = ik_mod.solve_ik(model, T, guess, max_iterations=300)
-                    return r.theta, r.trans_err
-                qf, errs = jax.lax.scan(body, guess0, Ts)
-                return jnp.sum(qf) + jnp.sum(errs)
-
+            def run_chain(T):
+                def body(c, _):
+                    r = fn(T + 1e-12 * c)
+                    return r.rot_err + r.trans_err + 1e-12 * jnp.sum(r.theta), None
+                out, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32) * T[0, 0], None, length=k)
+                return out
             return run_chain
-        return chain
 
-    for warm, label, note in [
-        (False, "iterative_device_cold",
-         "per-solve device time, cold-started like the host-loop rows; "
-         "the gap to those rows is pure tunnel round trip + dispatch"),
-        (True, "iterative_device_warm",
-         "per-solve device time with servo-style warm starts (fewer "
-         "iterations per solve than the cold rows by construction)"),
-    ]:
-        dev = device_latency(f"ik_{label}", ik_chain(warm),
-                             k_small=k_small, k_large=k_large, items_per_call=1)
-        results.append(
-            {
-                "solver": label,
-                "success_rate": None,
-                "median_ms": dev.sustained_s * 1e3,
-                "mean_ms": dev.sustained_s * 1e3,
-                "p95_ms": None,
-                "max_pos_err": None,
-                "note": note,
-            }
-        )
+        small, large = chain(k_small), chain(k_large)
+        jax.block_until_ready(small(targets[0]))
+        jax.block_until_ready(large(targets[0]))
+        per_target = []
+        for T in targets:
+            def best(f, reps=2):
+                b = float("inf")
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(f(T))
+                    b = min(b, time.perf_counter() - t0)
+                return b
+            per_target.append((best(large) - best(small)) / (k_large - k_small))
+        ms = np.asarray(per_target) * 1e3
+        row = {
+            "solver": name,
+            "median_ms": float(np.median(ms)),
+            "mean_ms": float(np.mean(ms)),
+            "p95_ms": float(np.percentile(ms, 95)),
+            "methodology": "per-target on-device difference quotient (single-dispatch solver program)",
+        }
+        row.update(host_rows[name])
+        return row
+
+    for name, fn in family_fns.items():
+        results.append(device_rows(name, fn))
 
     # TPU-native batch mode: every target solved concurrently in ONE call.
     batch_fn = jax.jit(

@@ -52,15 +52,21 @@ STEPS = 20
 GATE = 0.8
 
 
-def _best(fn, reps=3):
+def _median(fn, reps=5):
+    """Median-of-reps (was min-of-3): on a 2-vCPU host running up to 8
+    virtual devices, single draws produced non-monotonic artifacts (a
+    0.74 eff at 2 devices in round 3 beside 0.94 at 4 — host noise, not
+    collective cost); medians over 5 reps smooth scheduler jitter."""
+    import statistics
+
     fn()  # compile
     jax.block_until_ready(fn())
-    b = float("inf")
+    ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         jax.block_until_ready(fn())
-        b = min(b, time.perf_counter() - t0)
-    return b
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
 
 
 def run():
@@ -84,7 +90,7 @@ def run():
         def roll(m=m):
             return pmesh.distributed_rollout(model, m, q0, dq0, taus, dt=0.01)
 
-        rollout_t[nd] = _best(roll)
+        rollout_t[nd] = _median(roll)
 
         # Fleet-style cost round: sharded rollout summary + psum-shaped
         # global reduction (jnp.sum over a sharded array lowers to the
@@ -93,7 +99,7 @@ def run():
             qs, dqs, _ = pmesh.distributed_rollout(model, m, q0, dq0, taus, dt=0.01)
             return float(jnp.sum(qs * qs) + jnp.sum(dqs * dqs))
 
-        psum_t[nd] = _best(cost_round)
+        psum_t[nd] = _median(cost_round)
 
     overhead_eff = {nd: rollout_t[1] / rollout_t[nd] for nd in device_counts}
     overhead_eff_cost = {nd: psum_t[1] / psum_t[nd] for nd in device_counts}
@@ -109,7 +115,7 @@ def run():
         def roll(m=m, b=b):
             return pmesh.distributed_rollout(model, m, q0[:b], dq0[:b], taus[:b], dt=0.01)
 
-        weak_t[nd] = _best(roll)
+        weak_t[nd] = _median(roll)
     weak_eff = pmesh.scaling_efficiency(weak_t)
 
     return {
@@ -118,11 +124,11 @@ def run():
         "total_scenarios": TOTAL_B,
         "steps": STEPS,
         "gate": {
-            "name": "sharding_overhead_efficiency_8dev",
-            "value": overhead_eff[8],
+            "name": "sharding_overhead_efficiency_all_device_counts",
+            "values": overhead_eff,
             "threshold": GATE,
-            "pass": bool(overhead_eff[8] >= GATE),
-            "definition": "T(total work, 1 device) / T(same total work, n devices)",
+            "pass": bool(all(overhead_eff[nd] >= GATE for nd in overhead_eff)),
+            "definition": "T(total work, 1 device) / T(same total work, n devices), median of 5 reps, gated at EVERY device count",
         },
         "rollout_time_s": rollout_t,
         "sharding_overhead_efficiency": overhead_eff,
@@ -148,7 +154,8 @@ def main() -> int:
     print(json.dumps({k: payload[k] for k in (
         "rollout_time_s", "sharding_overhead_efficiency",
         "fixed_per_device_work_efficiency")}, indent=2, default=str))
-    print(f"gate {g['name']}: {g['value']:.3f} (>= {g['threshold']}) pass={g['pass']}")
+    vals = " ".join(f"{nd}dev={v:.3f}" for nd, v in g["values"].items())
+    print(f"gate {g['name']}: {vals} (>= {g['threshold']}) pass={g['pass']}")
     print(f"wrote {out}")
     return 0 if g["pass"] else 2
 

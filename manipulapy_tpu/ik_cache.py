@@ -129,22 +129,41 @@ def smart_ik(
         else [strategy]
     )
     key = jax.random.PRNGKey(seed)
-    best: Optional[IKResult] = None
+    guesses = []
     for s in chain:
         key, sub = jax.random.split(key)
         theta0 = guess_for(s, sub)
-        if theta0 is None:
-            continue
-        res = solve_ik(model, T_desired, theta0, **solve_kw)
-        if best is None or float(res.rot_err + res.trans_err) < float(
-            best.rot_err + best.trans_err
-        ):
-            best = res
-        if bool(res.success):
-            if cache is not None:
-                cache.add(np.asarray(T_desired), np.asarray(res.theta))
-            return res
-    return best
+        if theta0 is not None:
+            guesses.append(theta0)
+    if not guesses:
+        return None
+
+    if len(guesses) == 1:
+        res = solve_ik(model, T_desired, guesses[0], **solve_kw)
+    else:
+        # Race the whole fallback chain as ONE vmapped solve (a single
+        # device dispatch — the reference's sequential chain pays a
+        # full solve round trip per strategy, kinematics.py:601-642).
+        # Selection preserves the chain's semantics: the EARLIEST
+        # successful strategy wins; with no success, the best error.
+        results = jax.vmap(
+            lambda th: solve_ik(model, T_desired, th, **solve_kw)
+        )(jnp.stack(guesses))
+        order = jnp.arange(len(guesses), dtype=results.rot_err.dtype)
+        combined = results.rot_err + results.trans_err
+        score = jnp.where(results.success, order, 1e6 + combined)
+        # Traced: smart_ik is jit-compatible when cache is None.
+        i = jnp.argmin(score)
+        res = IKResult(
+            results.theta[i],
+            results.success[i],
+            results.iterations[i],
+            results.rot_err[i],
+            results.trans_err[i],
+        )
+    if cache is not None and bool(res.success):
+        cache.add(np.asarray(T_desired), np.asarray(res.theta))
+    return res
 
 
 def robust_ik(
@@ -176,7 +195,9 @@ def robust_ik(
     )(guesses, dampings, step_caps)
     combined = results.rot_err + results.trans_err
     penalty = jnp.where(results.success, 0.0, 1e6)
-    i = int(jnp.argmin(combined + penalty))
+    # Traced selection: robust_ik is jit-compatible end to end (one
+    # device dispatch for the whole 10-way race).
+    i = jnp.argmin(combined + penalty)
     return IKResult(
         results.theta[i],
         results.success[i],

@@ -226,6 +226,48 @@ class TracIKSolver:
         )
         return out, bool(out.success)
 
+    def solve_round(
+        self,
+        T_desired: jnp.ndarray,
+        theta0: Optional[jnp.ndarray] = None,
+        seed: int = 0,
+    ) -> IKResult:
+        """One DLS+SQP round as a single traced computation: both
+        algorithm families race over the full guess stack concurrently
+        and the selection is traced — jit-compatible, ONE device
+        dispatch. This is the typical-case path of :meth:`solve` (the
+        first round succeeds at the benchmark's ~96% rate); the timeout
+        re-randomization loop of :meth:`solve` stays host-side."""
+        model = self.model
+        T_desired = jnp.asarray(T_desired, dtype=model.dtype)
+        mid = midpoint_guess(model)
+        base = [
+            theta0 if theta0 is not None else workspace_heuristic_guess(model, T_desired),
+            mid,
+            jnp.zeros(model.num_joints, dtype=model.dtype),
+            -mid,
+        ]
+        num_random = max(self.num_guesses - len(base), 0)
+        stack = jnp.stack(base)
+        if num_random:
+            stack = jnp.concatenate(
+                [stack, random_guesses(model, jax.random.PRNGKey(seed), num_random)]
+            )
+        stack = stack[: self.num_guesses]
+        r_dls = self._dls_batch(T_desired, stack)
+        r_sqp = self._sqp_batch(T_desired, stack)
+        results = IKResult(*(jnp.concatenate([a, b]) for a, b in zip(r_dls, r_sqp)))
+        combined = results.rot_err + results.trans_err
+        penalty = jnp.where(results.success, 0.0, 1e6)
+        i = jnp.argmin(combined + penalty)
+        return IKResult(
+            results.theta[i],
+            results.success[i],
+            results.iterations[i],
+            results.rot_err[i],
+            results.trans_err[i],
+        )
+
     # -- solve -------------------------------------------------------------------
 
     def solve(

@@ -43,6 +43,22 @@ class TestExamples:
         out = _run_demo("examples/intermediate/perception_demo.py")
         assert "detected 2 obstacles" in out
 
+    def test_tpu_acceleration_demo_quick(self):
+        out = _run_demo("examples/advanced/tpu_acceleration_demo.py", "--quick")
+        assert "Phase 3: trajectory pipeline" in out
+        assert "plot saved" in out or "matplotlib unavailable" in out
+
+    def test_collision_avoidance_demo_quick(self):
+        out = _run_demo("examples/advanced/collision_avoidance_demo.py", "--quick")
+        assert "min clearance BEFORE avoidance: -" in out  # obstacle really on path
+        assert "endpoints pinned: start True, goal True" in out
+        assert "Phase 3: three obstacles" in out
+
+    def test_fleet_mpc_demo_quick(self):
+        out = _run_demo("examples/advanced/fleet_mpc_demo.py", "--quick", "--virtual", "2")
+        assert "fleet mean cost" in out
+        assert "plot saved" in out or "matplotlib unavailable" in out
+
     @pytest.mark.slow
     def test_stereo_vision_advanced_demo(self):
         pytest.importorskip("cv2")
