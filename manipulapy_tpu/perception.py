@@ -91,5 +91,11 @@ class Perception:
         num = len(set(labels) - {-1})
         return labels, num
 
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
     def release(self) -> None:
         self.vision.release()

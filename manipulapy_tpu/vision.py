@@ -18,10 +18,14 @@ section 2.6), restructured for this stack:
 from __future__ import annotations
 
 import importlib.util
+import logging
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 try:  # OpenCV is a hard dep of the vision extra, soft overall.
     import cv2
@@ -181,6 +185,20 @@ class Vision:
         from ultralytics import YOLO  # pragma: no cover - optional dep
 
         self._yolo = YOLO(model_name)
+        # MANIPULAPY_YOLO_DEVICE pins the torch device (reference contract,
+        # vision.py:596-606): ultralytics otherwise auto-selects CUDA,
+        # which can crash when another library owns the CUDA context in
+        # the same process. Unset = ultralytics chooses.
+        forced_device = os.environ.get("MANIPULAPY_YOLO_DEVICE")
+        if forced_device:  # pragma: no cover - device-specific
+            try:
+                self._yolo.to(forced_device)
+                logger.info("YOLO model pinned to %r via MANIPULAPY_YOLO_DEVICE", forced_device)
+            except Exception as exc:
+                logger.warning(
+                    "Could not pin YOLO model to %r (%s); leaving auto-selection",
+                    forced_device, exc,
+                )
         return self._yolo
 
     def detect_obstacles(
@@ -307,6 +325,12 @@ class Vision:
         pts = cv2.reprojectImageTo3D(disparity, Q)
         mask = (disparity > 0) & np.isfinite(pts).all(axis=-1)
         return pts[mask]
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
     def release(self) -> None:
         self._yolo = None
