@@ -161,6 +161,7 @@ def _run_mpc(quick: bool = False):
     """
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from .common import dispatch_floor, inline_chain
     from manipulapy_tpu.models import robot_data
@@ -264,13 +265,11 @@ def _run_mpc(quick: bool = False):
     # solver above (round-3 missing item #1). Per-scenario goals included.
     from manipulapy_tpu.mpc.fused_batch import build_batch_tracking_mpc
 
-    import numpy as _np
-
-    rngb = _np.random.default_rng(0)
+    rngb = np.random.default_rng(0)
     for Bf in (64, 1024, 4096):
         goals = jnp.asarray(
-            _np.asarray(q_goal7)[None]
-            + rngb.uniform(-0.2, 0.2, (Bf, n)).astype(_np.float32)
+            np.asarray(q_goal7)[None]
+            + rngb.uniform(-0.2, 0.2, (Bf, n)).astype(np.float32)
         )
         x0f = jnp.asarray(rngb.uniform(-0.2, 0.2, (Bf, 2 * n)), jnp.float32)
         us0f = jnp.zeros((Bf, H, n), jnp.float32)
