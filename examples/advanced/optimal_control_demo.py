@@ -31,7 +31,9 @@ import numpy as np
 from manipulapy_tpu.models import catalog
 from manipulapy_tpu.mpc import ILQRParams, ilqr, make_step_fn, make_tracking_costs, mpc_step
 
-model = catalog.get_robot(args.robot)
+# --quick swaps in the 2-link planar arm: the n=6 iLQR program costs
+# minutes of XLA:CPU compile on small hosts, the planar one seconds.
+model = catalog.two_link_planar() if QUICK else catalog.get_robot(args.robot)
 n = model.num_joints
 H, dt = (16, 0.02) if QUICK else (30, 0.02)
 iters = 4 if QUICK else 8

@@ -59,6 +59,16 @@ class TestExamples:
         assert "fleet mean cost" in out
         assert "plot saved" in out or "matplotlib unavailable" in out
 
+    def test_optimal_control_demo_quick(self):
+        out = _run_demo("examples/advanced/optimal_control_demo.py", "--quick")
+        assert "Phase 4: torque-limit sweep" in out
+        assert "recovered: True" in out
+
+    def test_batch_processing_demo_quick(self):
+        out = _run_demo("examples/advanced/batch_processing_demo.py", "--quick")
+        assert "within limits everywhere: True" in out
+        assert "converged" in out
+
     @pytest.mark.slow
     def test_stereo_vision_advanced_demo(self):
         pytest.importorskip("cv2")
