@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.robot import RobotModel
 from ..ops.fd_step import build_fd_step_planes
 
-__all__ = ["BatchTrackingMPC", "build_batch_tracking_mpc"]
+__all__ = ["BatchTrackingMPC", "build_batch_tracking_mpc", "batch_mpc_step"]
 
 _SUB, _LANE = 8, 128
 _TILE_B = _SUB * _LANE  # 1024 scenarios per grid cell
@@ -614,3 +614,22 @@ def build_batch_tracking_mpc(
         linearize=linearize, backward=backward,
         linesearch_costs=linesearch_costs, replay=replay,
     )
+
+
+def batch_mpc_step(
+    mpc: BatchTrackingMPC,
+    x: jnp.ndarray,
+    us_warm: jnp.ndarray,
+    q_goal: Optional[jnp.ndarray] = None,
+):
+    """One receding-horizon round for a whole fleet: solve all B
+    scenarios, return the first controls, and shift the warm starts
+    (the batched analogue of :func:`manipulapy_tpu.mpc.ilqr.mpc_step`).
+
+    Returns ``(u_first (B, n), us_warm_next (B, H, n), (us, xs, cost))``.
+    ``q_goal`` re-targets every scenario without recompiling.
+    """
+    us, xs, cost = mpc.solve(x, us_warm, q_goal)
+    u_first = us[:, 0]
+    us_next = jnp.concatenate([us[:, 1:], us[:, -1:]], axis=1)
+    return u_first, us_next, (us, xs, cost)

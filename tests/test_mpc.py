@@ -382,3 +382,40 @@ class TestBatchFusedMPC:
         assert float(jnp.max(jnp.abs(us[0] - us[1]))) > 1e-4
         # And both scenarios make progress toward the goal.
         assert float(jnp.abs(xs[0, -1, 0] - 1.0)) < float(jnp.abs(xs[0, 0, 0] - 1.0))
+
+    def test_goal_argument_matches_baked(self):
+        """solve(..., q_goal) must equal a solver built with those goals."""
+        from manipulapy_tpu.models import catalog
+        from manipulapy_tpu.mpc.fused_batch import build_batch_tracking_mpc
+
+        model = catalog.two_link_planar(dtype=jnp.float32)
+        B, H = 2, 10
+        g1 = jnp.asarray([[0.5, -0.2], [0.2, 0.4]], jnp.float32)
+        g2 = jnp.asarray([[-0.3, 0.6], [0.7, 0.1]], jnp.float32)
+        x0 = jnp.zeros((B, 4), jnp.float32)
+        us0 = jnp.zeros((B, H, 2), jnp.float32)
+        mpc1 = build_batch_tracking_mpc(model, g1, B, H, 0.02, iterations=3, interpret=True)
+        mpc2 = build_batch_tracking_mpc(model, g2, B, H, 0.02, iterations=3, interpret=True)
+        a = mpc1.solve(x0, us0, g2)
+        b = mpc2.solve(x0, us0)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_batch_mpc_step_receding_horizon(self):
+        from manipulapy_tpu.models import catalog
+        from manipulapy_tpu.mpc import make_step_fn
+        from manipulapy_tpu.mpc.fused_batch import batch_mpc_step, build_batch_tracking_mpc
+
+        model = catalog.two_link_planar(dtype=jnp.float32)
+        B, H = 2, 10
+        goals = jnp.asarray([[0.6, -0.3], [-0.4, 0.5]], jnp.float32)
+        mpc = build_batch_tracking_mpc(model, goals, B, H, 0.02, iterations=3, interpret=True)
+        step = make_step_fn(model, 0.02)
+        x = jnp.zeros((B, 4), jnp.float32)
+        us_warm = jnp.zeros((B, H, 2), jnp.float32)
+        err0 = float(jnp.max(jnp.abs(x[:, :2] - goals)))
+        for _ in range(6):
+            u, us_warm, _ = batch_mpc_step(mpc, x, us_warm)
+            x = jax.vmap(step)(x, u)
+        err = float(jnp.max(jnp.abs(x[:, :2] - goals)))
+        assert err < err0  # both scenarios progress toward their own goals
