@@ -9,7 +9,7 @@ from .costs import (
     make_tracking_costs,
 )
 from .fused import TrackingMPC, build_tracking_mpc
-from .fused_batch import BatchTrackingMPC, build_batch_tracking_mpc
+from .fused_batch import BatchTrackingMPC, batch_mpc_step, build_batch_tracking_mpc
 
 __all__ = [
     "ILQRParams",
@@ -21,6 +21,7 @@ __all__ = [
     "build_tracking_mpc",
     "BatchTrackingMPC",
     "build_batch_tracking_mpc",
+    "batch_mpc_step",
     "quadratic_tracking_cost",
     "pose_tracking_cost",
     "obstacle_cost",
