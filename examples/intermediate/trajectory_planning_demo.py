@@ -59,3 +59,46 @@ stats = planner.get_performance_stats()
 print(f"\nplanner stats: {stats['calls']} calls, compile {stats['compile_time']:.2f} s, "
       f"steady avg {stats['avg_steady_time']*1e3:.2f} ms, "
       f"compile amortization {stats['compile_amortization']:.0f} calls")
+
+# -- Dynamic feasibility: how fast can this motion be? -----------------------
+# Shrink the duration until the inverse-dynamics torques hit the actuator
+# limits — the planning question the reference's Benchmark answers with
+# sweeps, done here as one table.
+print("\ndynamic feasibility sweep (same path, shorter Tf):")
+print(f"{'Tf (s)':>8} {'peak |tau| (Nm)':>16} {'within limits':>14}")
+for Tf in (2.0, 1.0, 0.5, 0.25):
+    trf = planner.joint_trajectory(q0, q1, Tf=Tf, N=200, method=5)
+    tauf = planner.inverse_dynamics_trajectory(trf.position, trf.velocity, trf.acceleration)
+    peak = float(jnp.max(jnp.abs(tauf)))
+    # Per-joint check against each joint's OWN actuator limit. The
+    # planner clips output torques to the limits (reference semantics,
+    # path_planning.py:1238-1263), so saturation = any sample AT a limit.
+    within = bool(jnp.all(jnp.abs(tauf) < model.torque_limit * (1 - 1e-6)))
+    print(f"{Tf:>8.2f} {peak:>16.1f} {str(within):>14}")
+
+# -- Plot artifact -----------------------------------------------------------
+try:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "out")
+    os.makedirs(OUT_DIR, exist_ok=True)
+    tr3 = planner.joint_trajectory(q0, q1, Tf=2.0, N=400, method=3)
+    tr5 = planner.joint_trajectory(q0, q1, Tf=2.0, N=400, method=5)
+    ts = np.linspace(0, 2.0, 400)
+    fig, axes = plt.subplots(1, 3, figsize=(13, 3.6))
+    for ax, attr, lbl in ((axes[0], "position", "q (rad)"),
+                          (axes[1], "velocity", "dq (rad/s)"),
+                          (axes[2], "acceleration", "ddq (rad/s²)")):
+        ax.plot(ts, np.asarray(getattr(tr3, attr))[:, -1], "--", label="cubic")
+        ax.plot(ts, np.asarray(getattr(tr5, attr))[:, -1], "-", label="quintic")
+        ax.set_xlabel("t (s)"); ax.set_ylabel(lbl); ax.grid(alpha=0.3)
+    axes[0].set_title("wrist joint: cubic vs quintic time scaling")
+    axes[0].legend()
+    out_png = os.path.join(OUT_DIR, "trajectory_planning.png")
+    fig.savefig(out_png, dpi=120, bbox_inches="tight")
+    print(f"\nplot saved: {out_png}")
+except ImportError:
+    print("\n(matplotlib unavailable — plot skipped)")
