@@ -122,9 +122,12 @@ def build_pallas_rollout(
                 raise ValueError(f"time_tile {time_tile} must divide N={N}")
             return int(time_tile)
         # Auto: largest divisor whose 4 double-buffered (tau + 3 outputs)
-        # DMA blocks stay under ~6 MB of VMEM (leaving room for scratch
-        # and the step program's live values).
-        budget = 6 * 1024 * 1024
+        # DMA blocks stay under a VMEM budget. The budget is layout-aware
+        # (measured on v5e, N=50 UR5): tiled-IO chains run best at
+        # mid-size tiles (Tt=25: 1.65G vs Tt=50: 1.52G steps/s at
+        # B=131072), while the staged path is fastest with the whole
+        # horizon per cell (Tt=25 showed a reproducible -23% at B=4096).
+        budget = (6 if tiled_io else 12) * 1024 * 1024
         block = n * _SUB * _LANE * 4  # one (n, 8, 128) f32 time-slice
         best = 1
         for d in range(1, N + 1):
