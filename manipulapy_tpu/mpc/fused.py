@@ -283,7 +283,7 @@ def build_tracking_mpc(
         kK_ref[0, n : n + 1, :n] = jnp.swapaxes(k_col, 0, 1)
 
     @jax.jit
-    def backward(AB, sd, Vterm, reg_c):
+    def backward(AB, sd, Vterm, reg_c, goal_row):
         """AB (nx, 32, LANES) lanes-layout, sd (H, 8, LANES), Vterm
         (v_rows, LANES), reg scalar -> gains kK (H, kk_rows, LANES):
         rows [:n] = K_t, row n = k_t."""
@@ -293,7 +293,7 @@ def build_tracking_mpc(
         const_tile = (
             jnp.zeros((8, _LANES), jnp.float32)
             .at[0, :nx].set(jnp.asarray(2.0 * w_x_np, jnp.float32))
-            .at[1, :nx].set(jnp.asarray(x_goal, jnp.float32))
+            .at[1, :nx].set(goal_row[0])
         )
         return pl.pallas_call(
             bwd_kernel,
@@ -314,7 +314,7 @@ def build_tracking_mpc(
     # ---------------- Pallas kernel 3: line-search forward ------------------
     # alphas ride lanes; grid over time with scratch-carried state. Gains
     # arrive in the backward kernel's packed layout.
-    def fwd_kernel(x0_ref, sd_ref, kK_ref, alpha_ref,
+    def fwd_kernel(x0_ref, goal_ref, sd_ref, kK_ref, alpha_ref,
                    xs_ref, us_ref, cost_ref, x_s, acc_s):
         t = pl.program_id(0)
 
@@ -337,7 +337,7 @@ def build_tracking_mpc(
         # Running cost at the PRE-step state (matches the generic solver).
         c = jnp.zeros((1, _LANES), jnp.float32)
         for i in range(n):
-            e = x[i] - float(x_goal[i])
+            e = x[i] - goal_ref[0, i]
             c = c + float(w_q) * e * e
             c = c + float(w_dq) * x[n + i] * x[n + i]
         for j in range(n):
@@ -358,12 +358,12 @@ def build_tracking_mpc(
             # Terminal cost on the post-step state.
             cT = jnp.zeros((1, _LANES), jnp.float32)
             for i in range(nx):
-                e = x_s[i : i + 1, :] - float(x_goal[i])
+                e = x_s[i : i + 1, :] - goal_ref[0, i]
                 cT = cT + float(wT_np[i]) * e * e
             cost_ref[:] = acc_s[:] + cT
 
     @jax.jit
-    def forward_packed(x0_s, sd, kK, alpha_s):
+    def forward_packed(x0_s, goal_row, sd, kK, alpha_s):
         """Packed-layout line-search rollouts; returns packed outputs:
         xs (1, H, nx, LANES) post-step states, us (1, H, n, LANES),
         costs (1, LANES)."""
@@ -371,6 +371,7 @@ def build_tracking_mpc(
             fwd_kernel,
             grid=(H,),
             in_specs=[
+                pl.BlockSpec((1, nx), lambda t: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, nx), lambda t: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 8, _LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, kk_rows, _LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -391,7 +392,7 @@ def build_tracking_mpc(
                 pltpu.VMEM((1, _LANES), jnp.float32),
             ],
             interpret=interpret,
-        )(x0_s, sd, kK, alpha_s)
+        )(x0_s, goal_row, sd, kK, alpha_s)
 
     def _stage_sd(xs_pre, us):
         sd = jnp.zeros((H, 8, _LANES), jnp.float32)
@@ -411,7 +412,10 @@ def build_tracking_mpc(
         kK = jnp.zeros((H, kk_rows, _LANES), jnp.float32)
         kK = kK.at[:, :n, :nx].set(Ks.astype(jnp.float32))
         kK = kK.at[:, n, :n].set(ks.astype(jnp.float32))
-        xs_out, us_out, cost = forward_packed(x0_s, sd, kK, alpha_s)
+        goal_row = jnp.zeros((1, nx), jnp.float32).at[0].set(
+            jnp.asarray(x_goal, jnp.float32)
+        )
+        xs_out, us_out, cost = forward_packed(x0_s, goal_row, sd, kK, alpha_s)
         xs_new = jnp.moveaxis(xs_out[0], -1, 0)[:n_a]
         us_new = jnp.moveaxis(us_out[0], -1, 0)[:n_a]
         return xs_new, us_new, cost[0, :n_a]
@@ -419,8 +423,10 @@ def build_tracking_mpc(
     alphas_v = 0.5 ** jnp.arange(n_alpha, dtype=jnp.float32)
 
     # ---------------- solver loop --------------------------------------------
+    # The goal rides a runtime argument (like the batched solver): a
+    # receding-horizon loop can re-target every step without recompiling.
     @jax.jit
-    def solve(x0, us_init):
+    def solve_impl(x0, us_init, goal_row):
         x0 = x0.astype(jnp.float32)
         us0 = jnp.clip(
             us_init.astype(jnp.float32),
@@ -434,7 +440,7 @@ def build_tracking_mpc(
 
         # Initial rollout: alpha = 0 closed loop == open loop of us0.
         sd0 = _stage_sd(jnp.zeros((H, nx), jnp.float32), us0)
-        xs_p, us_p, cost_p = forward_packed(x0_s, sd0, kK0, zero_alpha)
+        xs_p, us_p, cost_p = forward_packed(x0_s, goal_row, sd0, kK0, zero_alpha)
         cost = cost_p[0, 0]
 
         def select(xs_p, us_p, lane):
@@ -455,10 +461,10 @@ def build_tracking_mpc(
             Vterm = jnp.zeros((v_rows, _LANES), jnp.float32)
             Vterm = Vterm.at[:nx, :nx].set(jnp.diag(jnp.asarray(2.0 * wT_np, jnp.float32)))
             Vterm = Vterm.at[nx, :nx].set(
-                jnp.asarray(2.0 * wT_np, jnp.float32) * (x_last - jnp.asarray(x_goal, jnp.float32))
+                jnp.asarray(2.0 * wT_np, jnp.float32) * (x_last - goal_row[0])
             )
-            kK = backward(AB, sd, Vterm, reg_c)
-            xs_p, us_p, costs_p = forward_packed(x0_s, sd, kK, alpha_s)
+            kK = backward(AB, sd, Vterm, reg_c, goal_row)
+            xs_p, us_p, costs_p = forward_packed(x0_s, goal_row, sd, kK, alpha_s)
             costs_all = costs_p[0, :n_alpha]
             improving = jnp.logical_and(jnp.isfinite(costs_all), costs_all < cost)
             idx = jnp.argmax(improving)
@@ -478,6 +484,20 @@ def build_tracking_mpc(
         )
         xs_full = jnp.concatenate([x0[None], xs_post], axis=0)
         return us_cur, xs_full, cost
+
+    goal_row_c = jnp.zeros((1, nx), jnp.float32).at[0].set(
+        jnp.asarray(x_goal, jnp.float32)
+    )
+
+    def solve(x0, us_init, q_goal_new=None):
+        """Solve; ``q_goal_new`` (n,) re-targets WITHOUT recompiling."""
+        if q_goal_new is None:
+            goal_row = goal_row_c
+        else:
+            goal_row = jnp.zeros((1, nx), jnp.float32).at[0, :n].set(
+                jnp.asarray(q_goal_new, jnp.float32)
+            )
+        return solve_impl(x0, us_init, goal_row)
 
     return TrackingMPC(
         solve=solve, horizon=H, n=n,

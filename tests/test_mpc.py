@@ -419,3 +419,22 @@ class TestBatchFusedMPC:
             x = jax.vmap(step)(x, u)
         err = float(jnp.max(jnp.abs(x[:, :2] - goals)))
         assert err < err0  # both scenarios progress toward their own goals
+
+
+class TestFusedGoalArgument:
+    def test_single_solver_goal_argument_matches_baked(self):
+        from manipulapy_tpu.models import catalog
+        from manipulapy_tpu.mpc.fused import build_tracking_mpc
+
+        model = catalog.two_link_planar(dtype=jnp.float32)
+        H = 12
+        g1 = jnp.asarray([0.5, -0.2], jnp.float32)
+        g2 = jnp.asarray([-0.3, 0.6], jnp.float32)
+        x0 = jnp.zeros(4, jnp.float32)
+        us0 = jnp.zeros((H, 2), jnp.float32)
+        mpc1 = build_tracking_mpc(model, g1, H, 0.02, iterations=3, interpret=True)
+        mpc2 = build_tracking_mpc(model, g2, H, 0.02, iterations=3, interpret=True)
+        a = mpc1.solve(x0, us0, g2)
+        b = mpc2.solve(x0, us0)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
