@@ -22,7 +22,7 @@ import os
 import sys
 import time
 
-from .common import device_latency, setup_backend, write_artifact
+from .common import setup_backend, write_artifact
 
 
 def run(num_targets: int = 50, seed: int = 0, robot: str = "ur5"):

@@ -180,16 +180,26 @@ def load_robot(
     is the 7-DOF arm without the finger joint)."""
     import jax.numpy as jnp
 
+    import jax
+
     key = name.lower()
     if key not in ROBOT_DATABASE:
         raise KeyError(f"Unknown robot {name!r}. Available: {list_robots()}")
     dtype_name = jnp.dtype(dtype or jnp.float32).name
-    return _build_model_cached(key, dtype_name, tip_link, chain_joints_only)
+    # The x64 flag is part of the cache key: without it, a float64 load
+    # made BEFORE enable_x64 (silently truncated to f32 content) would be
+    # served to every float64 caller after x64 is enabled.
+    x64 = bool(jax.config.jax_enable_x64)
+    return _build_model_cached(key, dtype_name, tip_link, chain_joints_only, x64)
 
 
 @lru_cache(maxsize=64)
 def _build_model_cached(
-    key: str, dtype_name: str, tip_link: Optional[str], chain_joints_only: bool
+    key: str,
+    dtype_name: str,
+    tip_link: Optional[str],
+    chain_joints_only: bool,
+    _x64: bool,
 ):
     import jax.numpy as jnp
 

@@ -574,8 +574,14 @@ def build_batch_tracking_mpc(
                 x0_t, sd_x, us_cur, kK, goal_tiles, alpha_sel[:, None]
             )
             cost_new = cost_new[:, 0]
-            # alpha = 0 retraces the nominal trajectory; guard cost against
-            # f32 re-accumulation drift for rejected scenarios.
+            # alpha = 0 retraces the nominal trajectory for FINITE gains,
+            # but NaN gains (a scenario whose Quu lost positive
+            # definiteness) would poison it through 0 * NaN — guard the
+            # whole state for rejected scenarios, like the single-problem
+            # solver does (fused.py), and the cost against f32 drift.
+            keep = accepted[:, None, None]
+            xs_new = jnp.where(keep, xs_new, xs_post)
+            us_new = jnp.where(keep, us_new, us_cur)
             cost_new = jnp.where(accepted, cost_new, cost_t)
             reg_new = jnp.where(
                 accepted,
@@ -602,10 +608,10 @@ def build_batch_tracking_mpc(
         if q_goal_new is None:
             goal_t = goal_tiles_c
         else:
-            gp = jnp.concatenate(
-                [jnp.asarray(q_goal_new, jnp.float32), jnp.zeros((pad, n), jnp.float32)],
-                axis=0,
-            )
+            g = jnp.asarray(q_goal_new, jnp.float32)
+            if g.ndim == 1:  # shared goal, like the build-time path
+                g = jnp.broadcast_to(g, (B, n))
+            gp = jnp.concatenate([g, jnp.zeros((pad, n), jnp.float32)], axis=0)
             goal_t = stage_state(gp)
         return solve_impl(x0, us_init, goal_t)
 

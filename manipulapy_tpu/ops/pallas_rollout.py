@@ -129,9 +129,17 @@ def build_pallas_rollout(
         # horizon per cell (Tt=25 showed a reproducible -23% at B=4096).
         budget = (6 if tiled_io else 12) * 1024 * 1024
         block = n * _SUB * _LANE * 4  # one (n, 8, 128) f32 time-slice
+        # Compile-size cap: the kernel body unrolls Tt * intRes copies of
+        # the ~3k-op step program; bound that product so intRes > 1
+        # callers don't multiply Mosaic compile time.
+        max_steps_unrolled = 50
         best = 1
         for d in range(1, N + 1):
-            if N % d == 0 and 2 * 4 * d * block <= budget:
+            if (
+                N % d == 0
+                and 2 * 4 * d * block <= budget
+                and d * intRes <= max_steps_unrolled
+            ):
                 best = d
         return best
 

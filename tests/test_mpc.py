@@ -401,6 +401,25 @@ class TestBatchFusedMPC:
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
+    def test_shared_goal_retarget_runtime(self):
+        """A (n,) runtime goal broadcasts like the build-time path."""
+        from manipulapy_tpu.models import catalog
+        from manipulapy_tpu.mpc.fused_batch import build_batch_tracking_mpc
+
+        model = catalog.two_link_planar(dtype=jnp.float32)
+        B, H = 2, 8
+        mpc = build_batch_tracking_mpc(
+            model, jnp.asarray([0.5, -0.2], jnp.float32), B, H, 0.02,
+            iterations=2, interpret=True,
+        )
+        x0 = jnp.zeros((B, 4), jnp.float32)
+        us0 = jnp.zeros((B, H, 2), jnp.float32)
+        shared = jnp.asarray([-0.3, 0.6], jnp.float32)
+        a = mpc.solve(x0, us0, shared)  # (n,) shape
+        b = mpc.solve(x0, us0, jnp.broadcast_to(shared, (B, 2)))
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
     def test_batch_mpc_step_receding_horizon(self):
         from manipulapy_tpu.models import catalog
         from manipulapy_tpu.mpc import make_step_fn
