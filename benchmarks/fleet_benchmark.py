@@ -67,12 +67,34 @@ def bench_robot(key: str, B: int, H: int, iterations: int, reps: int, rng) -> di
     build_s = time.perf_counter() - t0
     cost0 = float(np.asarray(out[2]).mean())
 
-    jax.block_until_ready(mpc.solve(x0, us0))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = mpc.solve(x0, us0)
-    jax.block_until_ready(out)
-    per_call = (time.perf_counter() - t0) / reps
+    # Device time via an in-program receding-horizon chain (k=1 vs k=3
+    # difference quotient): a pipelined host loop still pays the tunnel's
+    # per-dispatch cost and under-reports throughput ~2x (measured:
+    # Panda B=1024 9.1 ms walled vs 4.25 ms device).
+    def chain(k):
+        @jax.jit
+        def run(x, us):
+            for _ in range(k):
+                us_new, xs, cost = mpc.solve(x, us)
+                x = xs[:, 1]
+                us = jnp.concatenate([us_new[:, 1:], us_new[:, -1:]], axis=1)
+            return jnp.sum(x) + jnp.sum(cost)
+
+        return run
+
+    c_small, c_large = chain(1), chain(3)
+    jax.device_get(c_small(x0, us0))
+    jax.device_get(c_large(x0, us0))
+
+    def best(f):
+        b = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.device_get(f(x0, us0))
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    per_call = (best(c_large) - best(c_small)) / 2
 
     return {
         "status": "ok",
@@ -86,6 +108,7 @@ def bench_robot(key: str, B: int, H: int, iterations: int, reps: int, rng) -> di
         "scenarios_per_s": round(B / per_call, 0),
         "mean_cost": round(cost0, 2),
         "finite": bool(np.isfinite(np.asarray(out[2])).all()),
+        "methodology": "on-device receding-horizon chain difference quotient",
     }
 
 
