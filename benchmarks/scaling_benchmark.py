@@ -118,6 +118,40 @@ def run():
         weak_t[nd] = _median(roll)
     weak_eff = pmesh.scaling_efficiency(weak_t)
 
+    # Flagship-path row: the batched fused Pallas solver under shard_map
+    # (parallel/fused_fleet.py — BASELINE config #5's actual shape).
+    # Same methodology as the gate: fixed total work (FUSED_B scenarios),
+    # 1 device vs 8 devices. A 3-DoF chain keeps the interpret-mode
+    # XLA:CPU compile bounded (a 6-DoF interpret build measured >15 min
+    # on this host; the full-size Panda build is benchmarked on the real
+    # chip in performance_results.json).
+    from manipulapy_tpu.parallel.fused_fleet import build_sharded_batch_mpc
+
+    # B chosen so the padded tile work is IDENTICAL at both device
+    # counts: 8192 scenarios = 8 full (8, 128) tiles on one device, or
+    # exactly one full tile per device on eight — so the ratio isolates
+    # partitioning/collective overhead like the main gate does.
+    FUSED_B, FUSED_H = 8192, 10
+    model3 = catalog.serial_chain(3, dtype=jnp.float32)
+    n3 = model3.num_joints
+    kf = jax.random.PRNGKey(1)
+    goals3 = jax.random.uniform(kf, (FUSED_B, n3), minval=-0.4, maxval=0.4, dtype=jnp.float32)
+    x0f = jnp.zeros((FUSED_B, 2 * n3), jnp.float32)
+    usf = jnp.zeros((FUSED_B, FUSED_H, n3), jnp.float32)
+    fused_t = {}
+    for nd in [1, 8]:
+        m = pmesh.make_mesh(nd)
+        smpc = build_sharded_batch_mpc(
+            model3, m, goals3, FUSED_B, FUSED_H, 0.02,
+            iterations=2, line_search_steps=4, interpret=True,
+        )
+
+        def solve(smpc=smpc):
+            return smpc.solve(x0f, usf)
+
+        fused_t[nd] = _median(solve, reps=3)
+    fused_eff = {nd: fused_t[1] / fused_t[nd] for nd in fused_t}
+
     return {
         "benchmark": "virtual_mesh_scaling",
         "host_cpus": os.cpu_count(),
@@ -136,6 +170,22 @@ def run():
         "sharding_overhead_efficiency_with_reduction": overhead_eff_cost,
         "fixed_per_device_work_time_s": weak_t,
         "fixed_per_device_work_efficiency": weak_eff,
+        "fused_batch_sharded": {
+            "solver": "mpc.fused_batch under shard_map (parallel/fused_fleet.py)",
+            "robot": "serial_chain(3)",
+            "batch": FUSED_B,
+            "horizon": FUSED_H,
+            "time_s": fused_t,
+            "sharding_overhead_efficiency": fused_eff,
+            "note": (
+                "interpret-mode Pallas on the virtual mesh; 8192 scenarios "
+                "= 8 full (8, 128) scenario tiles on 1 device vs one full "
+                "tile per device on 8 — constant padded tile work, so the "
+                "ratio isolates partitioning/collective overhead for the "
+                "flagship solver (the full-size real-chip numbers live in "
+                "performance_results.json)."
+            ),
+        },
         "note": (
             "all virtual devices share this host's physical cores, so the "
             "fixed-per-device table reflects core oversubscription, not "

@@ -25,6 +25,13 @@ from .fleet import (
     fleet_ilqr_solve,
     fleet_mpc_round,
 )
+from .fused_fleet import (
+    ShardedBatchMPC,
+    build_sharded_batch_mpc,
+    FleetFusedMPC,
+    build_fleet_fused_mpc,
+    unpad_robot,
+)
 
 __all__ = [
     "make_mesh",
@@ -42,4 +49,9 @@ __all__ = [
     "fleet_rollout",
     "fleet_ilqr_solve",
     "fleet_mpc_round",
+    "ShardedBatchMPC",
+    "build_sharded_batch_mpc",
+    "FleetFusedMPC",
+    "build_fleet_fused_mpc",
+    "unpad_robot",
 ]

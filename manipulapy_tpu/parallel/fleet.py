@@ -263,11 +263,21 @@ def fleet_mpc_round(
     params: ILQRParams,
     g=None,
     axis_name: str = SCENARIO_AXIS,
+    solver: str = "ilqr",
+    fused_mpc=None,
 ):
     """One distributed fleet-MPC round: scenario axis sharded over the
     mesh, robots replicated, fleet cost psum-reduced over ICI.
 
     The scenario count S must be a multiple of the mesh size.
+
+    ``solver`` selects the engine: ``"ilqr"`` (generic vmapped iLQR,
+    any robot mix, single compile) or ``"fused_batch"`` (the flagship
+    Pallas batched solver of :mod:`manipulapy_tpu.mpc.fused_batch`
+    under ``shard_map`` — one solver build per robot; pass a prebuilt
+    ``fused_mpc`` handle from
+    :func:`manipulapy_tpu.parallel.fused_fleet.build_fleet_fused_mpc`
+    to amortize builds across receding-horizon rounds).
 
     Returns:
         (us, costs, fleet_cost): (R, S, H, n_max) optimal controls,
@@ -275,6 +285,25 @@ def fleet_mpc_round(
         explicitly-reduced collective).
     """
     S = x0.shape[1]
+    if solver == "fused_batch":
+        from .fused_fleet import build_fleet_fused_mpc
+
+        if fused_mpc is None:
+            fused_mpc = build_fleet_fused_mpc(
+                fleet,
+                mesh,
+                S,
+                params.horizon,
+                params.dt,
+                axis_name=axis_name,
+                iterations=params.iterations,
+                line_search_steps=params.line_search_steps,
+                reg=params.reg_init,
+                g=g if g is not None else (0.0, 0.0, -9.81),
+            )
+        return fused_mpc.round(x0, us0, q_goals)
+    if solver != "ilqr":
+        raise ValueError(f"unknown solver {solver!r} (use 'ilqr' or 'fused_batch')")
     n_dev = mesh.devices.size
     if S % n_dev != 0:
         raise ValueError(f"scenario count {S} must be divisible by the mesh size {n_dev}")
