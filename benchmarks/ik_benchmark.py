@@ -51,8 +51,11 @@ def run(num_targets: int = 50, seed: int = 0, robot: str = "ur5"):
     guess0 = jnp.zeros(n, dtype=jnp.float32)
 
     def host_loop(name, solve_one):
-        """Host-loop wall times: what a REMOTE caller sees (every solve
-        pays the tunnel round trip + per-strategy dispatch)."""
+        """Host-loop wall times: what a REMOTE caller sees. Since round
+        4 each family is ONE jitted program (ik.py/ik_cache.py/
+        trac_ik.py single-dispatch cores) and the result is fetched with
+        ONE device_get — so a call pays dispatch + sync, not the 5-10
+        eager-composition round trips the old host path measured."""
         solve_one(targets[0])  # compile
         succ, lat, errs = 0, [], []
         for T in targets:
@@ -86,23 +89,37 @@ def run(num_targets: int = 50, seed: int = 0, robot: str = "ur5"):
     }
     # Host-loop configurations mirror the reference benchmark budgets
     # (iterative gets the reference's effectively-unbounded budget).
+    def fetch(r):
+        # ONE combined host sync for (success, error) — bool()/float()
+        # separately would pay two blocking transfers over the tunnel.
+        ok, err = jax.device_get((r.success, r.trans_err))
+        return bool(ok), float(err)
+
     host_rows = {
-        "iterative": host_loop("iterative", lambda T: (lambda r: (bool(r.success), float(r.trans_err)))(
-            ik_mod.solve_ik(model, T, guess0, max_iterations=3000))),
-        "smart": host_loop("smart", lambda T: (lambda r: (bool(r.success), float(r.trans_err)))(
-            ik_cache.smart_ik(model, T, cache=cache, max_iterations=300))),
-        "robust": host_loop("robust", lambda T: (lambda r: (bool(r.success), float(r.trans_err)))(
-            ik_cache.robust_ik(model, T, max_iterations=200))),
-        "trac_ik": host_loop("trac_ik", lambda T: (lambda r: (bool(r.success), float(r.trans_err)))(
-            solver.solve(T))),
+        "iterative": host_loop(
+            "iterative",
+            lambda T: fetch(ik_mod.solve_ik(model, T, guess0, max_iterations=3000)),
+        ),
+        "smart": host_loop(
+            "smart", lambda T: fetch(ik_cache.smart_ik(model, T, cache=cache, max_iterations=300))
+        ),
+        "robust": host_loop(
+            "robust", lambda T: fetch(ik_cache.robust_ik(model, T, max_iterations=200))
+        ),
+        "trac_ik": host_loop("trac_ik", lambda T: fetch(solver.solve(T))),
     }
 
     # PER-TARGET DEVICE TIME, the gate metric: chain the same solve k
-    # times with a data dependence (T nudged by the previous result; the
-    # 1e-12 perturbation underflows f32 so the math is identical, but XLA
-    # cannot CSE the calls) and take the (T(k2) - T(k1)) / (k2 - k1)
-    # difference quotient per target — the tunnel round trip (observed
-    # 0.05-24 ms/session) cancels exactly. Median/p95 across targets.
+    # times with a data dependence (T nudged by the previous result) and
+    # take the (T(k2) - T(k1)) / (k2 - k1) difference quotient per
+    # target — the tunnel round trip (observed 0.05-24 ms/session)
+    # cancels exactly. Median/p95 across targets. The 1e-12*c nudge does
+    # NOT underflow f32 (min normal ~1e-38); the math is identical
+    # because T + ~1e-15 rounds back to T for O(1)-magnitude entries
+    # (ulp(1.0) ~ 1.2e-7 in f32) — XLA still cannot CSE the calls since
+    # c is data-dependent. If target magnitudes ever shrank below ~1e-5
+    # the nudge would start perturbing real bits and change iteration
+    # counts; keep targets O(1) or scale the nudge by ulp(T).
     results = []
     k_small, k_large = 2, 6
 

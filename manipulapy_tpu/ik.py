@@ -41,6 +41,8 @@ __all__ = [
     "solve_ik",
     "solve_ik_batch",
     "multi_start_ik",
+    "freeze_solve_kw",
+    "select_best",
     "workspace_heuristic_guess",
     "extrapolate_guess",
     "random_guesses",
@@ -326,6 +328,53 @@ def solve_ik_batch(model: RobotModel, T_desired: jnp.ndarray, theta0: jnp.ndarra
     return jax.vmap(lambda T, th: solve_ik(model, T, th, **kw))(T_desired, theta0)
 
 
+def freeze_solve_kw(kw: dict) -> tuple:
+    """Freeze a ``solve_ik`` kwargs dict into a hashable static-arg tuple
+    (all values are scalars), so whole IK *families* can be one jitted
+    program each — on a remote-device link every eager op is a dispatch
+    round trip, and the round-4 host-latency audit showed the eager
+    guess-building/selection composition cost 5-10 round trips per solve."""
+    return tuple(sorted(kw.items()))
+
+
+def select_best(results: IKResult) -> IKResult:
+    """Traced selection over a leading race axis: prefer converged
+    solutions; among those, smallest combined error."""
+    combined = results.rot_err + results.trans_err
+    penalty = jnp.where(results.success, 0.0, 1e6)
+    i = jnp.argmin(combined + penalty)
+    return IKResult(
+        results.theta[i],
+        results.success[i],
+        results.iterations[i],
+        results.rot_err[i],
+        results.trans_err[i],
+    )
+
+
+@partial(jax.jit, static_argnames=("num_starts", "with_theta0", "solve_kw_items"))
+def _multi_start_core(
+    model, T_desired, theta0, seed, num_starts, with_theta0, solve_kw_items
+):
+    kw = dict(solve_kw_items)
+    n = model.num_joints
+    dtype = model.dtype
+    key = jax.random.PRNGKey(seed)
+    guesses = [
+        theta0 if with_theta0 else workspace_heuristic_guess(model, T_desired),
+        midpoint_guess(model),
+        jnp.zeros(n, dtype=dtype),
+    ]
+    num_random = max(num_starts - len(guesses), 0)
+    if num_random:
+        guesses.append(random_guesses(model, key, num_random))
+    stack = jnp.concatenate(
+        [jnp.atleast_2d(g) if g.ndim == 1 else g for g in guesses], axis=0
+    )[:num_starts]
+    results = jax.vmap(lambda th: solve_ik(model, T_desired, th, **kw))(stack)
+    return select_best(results)
+
+
 def multi_start_ik(
     model: RobotModel,
     T_desired: jnp.ndarray,
@@ -340,32 +389,23 @@ def multi_start_ik(
     ``kinematics.py:674-757``, and trac-ik's thread pool,
     ``trac_ik.py:185``). Guess set mirrors ``trac_ik.py:280-309``:
     user guess / workspace heuristic, midpoint, zeros, and random draws.
+
+    The whole family — guess construction, the race, and the selection —
+    is ONE jitted program: a single device dispatch per call.
     """
-    n = model.num_joints
-    dtype = model.dtype
-    key = jax.random.PRNGKey(seed)
-    guesses = [
-        theta0 if theta0 is not None else workspace_heuristic_guess(model, T_desired),
-        midpoint_guess(model),
-        jnp.zeros(n, dtype=dtype),
-    ]
-    num_random = max(num_starts - len(guesses), 0)
-    if num_random:
-        guesses.append(random_guesses(model, key, num_random))
-    stack = jnp.concatenate(
-        [jnp.atleast_2d(g) if g.ndim == 1 else g for g in guesses], axis=0
-    )[:num_starts]
-    results = jax.vmap(lambda th: solve_ik(model, T_desired, th, **kw))(stack)
-    # Prefer converged solutions; among those, smallest combined error.
-    combined = results.rot_err + results.trans_err
-    penalty = jnp.where(results.success, 0.0, 1e6)
-    i = jnp.argmin(combined + penalty)
-    return IKResult(
-        results.theta[i],
-        results.success[i],
-        results.iterations[i],
-        results.rot_err[i],
-        results.trans_err[i],
+    th0 = (
+        jnp.asarray(theta0, dtype=model.dtype)
+        if theta0 is not None
+        else jnp.zeros(model.num_joints, dtype=model.dtype)
+    )
+    return _multi_start_core(
+        model,
+        jnp.asarray(T_desired, dtype=model.dtype),
+        th0,
+        seed,
+        num_starts,
+        theta0 is not None,
+        freeze_solve_kw(kw),
     )
 
 

@@ -15,6 +15,7 @@ batched device solves. Where the reference retries strategies
 
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Optional, Tuple
 
 import jax
@@ -24,8 +25,10 @@ import numpy as np
 from .ik import (
     IKResult,
     extrapolate_guess,
+    freeze_solve_kw,
     midpoint_guess,
     random_guesses,
+    select_best,
     solve_ik,
     workspace_heuristic_guess,
 )
@@ -105,65 +108,126 @@ def smart_ik(
     stopping at the first success). Successful solves populate ``cache``.
     """
 
-    def guess_for(s: str, key) -> Optional[jnp.ndarray]:
-        if s == "workspace_heuristic":
-            return workspace_heuristic_guess(model, T_desired)
-        if s == "extrapolate":
-            if q_current is None:
-                return None
-            return extrapolate_guess(model, q_current, T_desired)
-        if s == "cached":
-            if cache is None:
-                return None
-            hit = cache.lookup(np.asarray(T_desired))
-            return None if hit is None else jnp.asarray(hit, dtype=model.dtype)
-        if s == "random":
-            return random_guesses(model, key, 1)[0]
-        if s == "midpoint":
-            return midpoint_guess(model)
-        raise ValueError(f"Unknown IK strategy {s!r}")
-
+    # The only host-side strategy is the cache lookup (a k-NN over host
+    # memory); every device-computable guess, the race, and the
+    # chain-order selection live in ONE jitted program
+    # (:func:`_smart_core`) — a single device dispatch per call. The
+    # round-4 host-latency audit showed the previous eager composition
+    # (stack / score / argmin / 5 indexings as separate ops) cost 5-10
+    # dispatch round trips per solve on the tunnelled chip.
     chain = (
         ["cached", "extrapolate", "workspace_heuristic", "midpoint", "random"]
         if strategy == "auto"
         else [strategy]
     )
-    key = jax.random.PRNGKey(seed)
-    guesses = []
+    extras = []
+    device_chain = []
     for s in chain:
-        key, sub = jax.random.split(key)
-        theta0 = guess_for(s, sub)
-        if theta0 is not None:
-            guesses.append(theta0)
-    if not guesses:
+        if s == "cached":
+            if cache is None:
+                continue
+            hit = cache.lookup(np.asarray(T_desired))
+            if hit is not None:
+                extras.append(np.asarray(hit, dtype=np.float64))
+        elif s == "extrapolate":
+            if q_current is not None:
+                device_chain.append(s)
+        elif s in ("workspace_heuristic", "midpoint", "random"):
+            device_chain.append(s)
+        else:
+            raise ValueError(f"Unknown IK strategy {s!r}")
+    if not extras and not device_chain:
         return None
 
-    if len(guesses) == 1:
-        res = solve_ik(model, T_desired, guesses[0], **solve_kw)
-    else:
-        # Race the whole fallback chain as ONE vmapped solve (a single
-        # device dispatch — the reference's sequential chain pays a
-        # full solve round trip per strategy, kinematics.py:601-642).
-        # Selection preserves the chain's semantics: the EARLIEST
-        # successful strategy wins; with no success, the best error.
-        results = jax.vmap(
-            lambda th: solve_ik(model, T_desired, th, **solve_kw)
-        )(jnp.stack(guesses))
-        order = jnp.arange(len(guesses), dtype=results.rot_err.dtype)
-        combined = results.rot_err + results.trans_err
-        score = jnp.where(results.success, order, 1e6 + combined)
-        # Traced: smart_ik is jit-compatible when cache is None.
-        i = jnp.argmin(score)
-        res = IKResult(
-            results.theta[i],
-            results.success[i],
-            results.iterations[i],
-            results.rot_err[i],
-            results.trans_err[i],
-        )
-    if cache is not None and bool(res.success):
-        cache.add(np.asarray(T_desired), np.asarray(res.theta))
+    n = model.num_joints
+    extra_stack = (
+        jnp.asarray(np.stack(extras), dtype=model.dtype)
+        if extras
+        else jnp.zeros((0, n), dtype=model.dtype)
+    )
+    qc = (
+        jnp.asarray(q_current, dtype=model.dtype)
+        if q_current is not None
+        else jnp.zeros(n, dtype=model.dtype)
+    )
+    res = _smart_core(
+        model,
+        jnp.asarray(T_desired, dtype=model.dtype),
+        extra_stack,
+        qc,
+        seed,
+        len(extras),
+        tuple(device_chain),
+        freeze_solve_kw(solve_kw),
+    )
+    if cache is not None:
+        success, theta = jax.device_get((res.success, res.theta))
+        if bool(success):
+            cache.add(np.asarray(T_desired), np.asarray(theta))
     return res
+
+
+@partial(jax.jit, static_argnames=("n_extra", "device_chain", "solve_kw_items"))
+def _smart_core(
+    model, T_desired, extra_guesses, q_current, seed, n_extra, device_chain, solve_kw_items
+):
+    """The whole smart-IK fallback chain as one traced program: build the
+    device-side guesses, race every strategy concurrently (the
+    reference's sequential chain pays a full solve per strategy,
+    ``kinematics.py:601-642``), and select with chain semantics — the
+    EARLIEST successful strategy wins; with no success, the best error."""
+    solve_kw = dict(solve_kw_items)
+    key = jax.random.PRNGKey(seed)
+    dev = []
+    for s in device_chain:
+        key, sub = jax.random.split(key)
+        if s == "workspace_heuristic":
+            dev.append(workspace_heuristic_guess(model, T_desired))
+        elif s == "midpoint":
+            dev.append(midpoint_guess(model))
+        elif s == "random":
+            dev.append(random_guesses(model, sub, 1)[0])
+        elif s == "extrapolate":
+            dev.append(extrapolate_guess(model, q_current, T_desired))
+    parts = ([extra_guesses[:n_extra]] if n_extra else []) + (
+        [jnp.stack(dev)] if dev else []
+    )
+    stack = jnp.concatenate(parts, axis=0)
+    m = n_extra + len(dev)
+    if m == 1:
+        return solve_ik(model, T_desired, stack[0], **solve_kw)
+    results = jax.vmap(lambda th: solve_ik(model, T_desired, th, **solve_kw))(stack)
+    order = jnp.arange(m, dtype=results.rot_err.dtype)
+    combined = results.rot_err + results.trans_err
+    score = jnp.where(results.success, order, 1e6 + combined)
+    i = jnp.argmin(score)
+    return IKResult(
+        results.theta[i],
+        results.success[i],
+        results.iterations[i],
+        results.rot_err[i],
+        results.trans_err[i],
+    )
+
+
+@partial(jax.jit, static_argnames=("with_theta0", "solve_kw_items"))
+def _robust_core(model, T_desired, theta0, seed, with_theta0, solve_kw_items):
+    solve_kw = dict(solve_kw_items)
+    key = jax.random.PRNGKey(seed)
+    dampings = jnp.asarray([5e-2, 5e-2, 1e-1, 1e-1, 2e-1, 5e-2, 1e-1, 2e-1, 3e-1, 5e-1], dtype=model.dtype)
+    step_caps = jnp.asarray([0.5, 0.3, 0.5, 0.3, 0.5, 1.0, 1.0, 0.7, 0.5, 0.3], dtype=model.dtype)
+    guesses = jnp.stack(
+        [
+            theta0 if with_theta0 else workspace_heuristic_guess(model, T_desired),
+            midpoint_guess(model),
+            jnp.zeros(model.num_joints, dtype=model.dtype),
+        ]
+        + list(random_guesses(model, key, 7))
+    )
+    results = jax.vmap(
+        lambda th, d, c: solve_ik(model, T_desired, th, damping=d, step_cap=c, **solve_kw)
+    )(guesses, dampings, step_caps)
+    return select_best(results)
 
 
 def robust_ik(
@@ -177,33 +241,23 @@ def robust_ik(
     """The reference's 10-entry (strategy, damping, step-cap) schedule
     (``kinematics.py:674-686``) — run as ONE vmapped batch instead of
     sequential restarts. Guesses repeat across damping tiers so every
-    (guess, parameters) combination races concurrently."""
-    key = jax.random.PRNGKey(seed)
-    dampings = jnp.asarray([5e-2, 5e-2, 1e-1, 1e-1, 2e-1, 5e-2, 1e-1, 2e-1, 3e-1, 5e-1], dtype=model.dtype)
-    step_caps = jnp.asarray([0.5, 0.3, 0.5, 0.3, 0.5, 1.0, 1.0, 0.7, 0.5, 0.3], dtype=model.dtype)
-    guesses = jnp.stack(
-        [
-            theta0 if theta0 is not None else workspace_heuristic_guess(model, T_desired),
-            midpoint_guess(model),
-            jnp.zeros(model.num_joints, dtype=model.dtype),
-        ]
-        + list(random_guesses(model, key, 7))
-    )
+    (guess, parameters) combination races concurrently.
 
-    results = jax.vmap(
-        lambda th, d, c: solve_ik(model, T_desired, th, damping=d, step_cap=c, **solve_kw)
-    )(guesses, dampings, step_caps)
-    combined = results.rot_err + results.trans_err
-    penalty = jnp.where(results.success, 0.0, 1e6)
-    # Traced selection: robust_ik is jit-compatible end to end (one
-    # device dispatch for the whole 10-way race).
-    i = jnp.argmin(combined + penalty)
-    return IKResult(
-        results.theta[i],
-        results.success[i],
-        results.iterations[i],
-        results.rot_err[i],
-        results.trans_err[i],
+    Guess construction, the 10-way race, and the selection are one jitted
+    program — a single device dispatch per call (on a remote-device link
+    the previous eager composition paid ~8 dispatch round trips)."""
+    th0 = (
+        jnp.asarray(theta0, dtype=model.dtype)
+        if theta0 is not None
+        else jnp.zeros(model.num_joints, dtype=model.dtype)
+    )
+    return _robust_core(
+        model,
+        jnp.asarray(T_desired, dtype=model.dtype),
+        th0,
+        seed,
+        theta0 is not None,
+        freeze_solve_kw(solve_kw),
     )
 
 

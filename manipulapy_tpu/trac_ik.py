@@ -184,6 +184,9 @@ class TracIKSolver:
         self.ev = float(ev)
         self.num_guesses = int(num_guesses)
         self._key = jax.random.PRNGKey(seed)
+        import numpy as _np
+
+        self._host_rng = _np.random.default_rng(seed)
 
         dls = partial(
             solve_ik, model, eomg=self.eomg, ev=self.ev, max_iterations=dls_iterations
@@ -193,6 +196,43 @@ class TracIKSolver:
         )
         self._dls_batch = jax.jit(jax.vmap(lambda T, th: dls(T, th), in_axes=(None, 0)))
         self._sqp_batch = jax.jit(jax.vmap(lambda T, th: sqp(T, th), in_axes=(None, 0)))
+
+        # The whole round — guess construction, both algorithm races, and
+        # the selection — as ONE jitted program (a single device dispatch;
+        # on a remote-device link the eager guess/concat/argmin/indexing
+        # composition measured 5-10 dispatch round trips per round).
+        num_guesses = self.num_guesses
+
+        def round_program(T_desired, theta0, seed, with_theta0):
+            mid = midpoint_guess(model)
+            base = [
+                theta0 if with_theta0 else workspace_heuristic_guess(model, T_desired),
+                mid,
+                jnp.zeros(model.num_joints, dtype=model.dtype),
+                -mid,
+            ]
+            num_random = max(num_guesses - len(base), 0)
+            stack = jnp.stack(base)
+            if num_random:
+                stack = jnp.concatenate(
+                    [stack, random_guesses(model, jax.random.PRNGKey(seed), num_random)]
+                )
+            stack = stack[:num_guesses]
+            r_dls = self._dls_batch(T_desired, stack)
+            r_sqp = self._sqp_batch(T_desired, stack)
+            results = IKResult(*(jnp.concatenate([a, b]) for a, b in zip(r_dls, r_sqp)))
+            combined = results.rot_err + results.trans_err
+            penalty = jnp.where(results.success, 0.0, 1e6)
+            i = jnp.argmin(combined + penalty)
+            return IKResult(
+                results.theta[i],
+                results.success[i],
+                results.iterations[i],
+                results.rot_err[i],
+                results.trans_err[i],
+            )
+
+        self._round = jax.jit(round_program, static_argnames=("with_theta0",))
 
     # -- guesses (reference trac_ik.py:280-309) --------------------------------
 
@@ -234,39 +274,19 @@ class TracIKSolver:
     ) -> IKResult:
         """One DLS+SQP round as a single traced computation: both
         algorithm families race over the full guess stack concurrently
-        and the selection is traced — jit-compatible, ONE device
-        dispatch. This is the typical-case path of :meth:`solve` (the
-        first round succeeds at the benchmark's ~96% rate); the timeout
-        re-randomization loop of :meth:`solve` stays host-side."""
+        and the selection is traced — ONE jitted device dispatch
+        (``self._round``). This is the typical-case path of
+        :meth:`solve` (the first round succeeds at the benchmark's ~96%
+        rate); the timeout re-randomization loop of :meth:`solve` stays
+        host-side."""
         model = self.model
         T_desired = jnp.asarray(T_desired, dtype=model.dtype)
-        mid = midpoint_guess(model)
-        base = [
-            theta0 if theta0 is not None else workspace_heuristic_guess(model, T_desired),
-            mid,
-            jnp.zeros(model.num_joints, dtype=model.dtype),
-            -mid,
-        ]
-        num_random = max(self.num_guesses - len(base), 0)
-        stack = jnp.stack(base)
-        if num_random:
-            stack = jnp.concatenate(
-                [stack, random_guesses(model, jax.random.PRNGKey(seed), num_random)]
-            )
-        stack = stack[: self.num_guesses]
-        r_dls = self._dls_batch(T_desired, stack)
-        r_sqp = self._sqp_batch(T_desired, stack)
-        results = IKResult(*(jnp.concatenate([a, b]) for a, b in zip(r_dls, r_sqp)))
-        combined = results.rot_err + results.trans_err
-        penalty = jnp.where(results.success, 0.0, 1e6)
-        i = jnp.argmin(combined + penalty)
-        return IKResult(
-            results.theta[i],
-            results.success[i],
-            results.iterations[i],
-            results.rot_err[i],
-            results.trans_err[i],
+        th0 = (
+            jnp.asarray(theta0, dtype=model.dtype)
+            if theta0 is not None
+            else jnp.zeros(model.num_joints, dtype=model.dtype)
         )
+        return self._round(T_desired, th0, seed, theta0 is not None)
 
     # -- solve -------------------------------------------------------------------
 
@@ -276,17 +296,21 @@ class TracIKSolver:
         T_desired = jnp.asarray(T_desired, dtype=self.model.dtype)
         deadline = time.monotonic() + self.timeout
         best: Optional[IKResult] = None
+        best_err = float("inf")
+        round_seed = 0
 
         while True:
-            guesses = self._guess_stack(T_desired, theta0)
-            for batch_solve in (self._dls_batch, self._sqp_batch):
-                res, ok = self._pick(batch_solve(T_desired, guesses))
-                if best is None or float(res.rot_err + res.trans_err) < float(
-                    best.rot_err + best.trans_err
-                ):
-                    best = res
-                if ok:
-                    return best
+            # One dispatch for the whole dual-algorithm round; one host
+            # sync fetching (success, combined error) together. Round
+            # seeds come from a HOST RNG — drawing them on-device would
+            # cost an extra dispatch + sync per round.
+            round_seed = int(self._host_rng.integers(2**31 - 1))
+            res = self.solve_round(T_desired, theta0, seed=round_seed)
+            ok, err = jax.device_get((res.success, res.rot_err + res.trans_err))
+            if best is None or float(err) < best_err:
+                best, best_err = res, float(err)
+            if bool(ok):
+                return best
             if time.monotonic() >= deadline:
                 return best
             theta0 = None  # subsequent rounds re-randomize fully
