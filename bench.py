@@ -107,7 +107,7 @@ def main():
             {
                 "metric": "ur5_exact_fd_rollout_steps_per_s",
                 "value": round(steps_per_s, 1),
-                "unit": "steps/s (batch=%d, N=%d, exact dynamics, f32)" % (batch, steps),
+                "unit": "steps/s (batch=%d, N=%d, exact dynamics, f32, kernel-native tiled IO; staged public API ~60%% of this, docs/ROOFLINE.md)" % (batch, steps),
                 "vs_baseline": round(steps_per_s / REFERENCE_EXACT_STEPS_PER_S, 2),
             }
         )

@@ -109,6 +109,51 @@ def run(num_targets: int = 50, seed: int = 0, robot: str = "ur5"):
         "trac_ik": host_loop("trac_ik", lambda T: fetch(solver.solve(T))),
     }
 
+    # Link round trip: the floor under every blocking single call on a
+    # tunnelled chip. Recorded so host wall-clock rows can be read
+    # honestly — host_median ~= link_rtt + device time, and a local
+    # (PCIe) chip would shrink the rtt term to ~0.1-0.5 ms.
+    tiny = jax.jit(lambda x: x + 1.0)
+    jax.device_get(tiny(jnp.zeros(8)))
+    rtts = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        jax.device_get(tiny(jnp.zeros(8)))
+        rtts.append(time.perf_counter() - t0)
+    link_rtt_ms = float(np.median(np.asarray(rtts)) * 1e3)
+
+    # PIPELINED host wall-clock: the deployment pattern for a stream of
+    # independent targets — dispatch every solve WITHOUT syncing (each
+    # family is one jitted program, so each call is one async dispatch),
+    # then block once. The link round trip is paid once for the whole
+    # stream instead of once per call; per-target cost approaches pure
+    # device time. This is real host wall-clock a caller gets by simply
+    # not forcing a result between calls.
+    def pipelined(dispatch_one):
+        dispatch_one(targets[0])  # warm
+        t0 = time.perf_counter()
+        rs = [dispatch_one(T) for T in targets]
+        jax.block_until_ready(rs)
+        total = time.perf_counter() - t0
+        return {
+            "host_pipelined_ms_per_target": total * 1e3 / num_targets,
+            "host_pipelined_total_ms": total * 1e3,
+        }
+
+    pipelined_rows = {
+        "iterative": pipelined(
+            lambda T: ik_mod.solve_ik(model, T, guess0, max_iterations=3000)
+        ),
+        "smart": pipelined(
+            lambda T: ik_cache.smart_ik(model, T, cache=None, max_iterations=300)
+        ),
+        "robust": pipelined(lambda T: ik_cache.robust_ik(model, T, max_iterations=200)),
+        "trac_ik": pipelined(lambda T: solver.solve_round(T)),
+    }
+    for name in host_rows:
+        host_rows[name].update(pipelined_rows[name])
+        host_rows[name]["link_rtt_ms"] = link_rtt_ms
+
     # PER-TARGET DEVICE TIME, the gate metric: chain the same solve k
     # times with a data dependence (T nudged by the previous result) and
     # take the (T(k2) - T(k1)) / (k2 - k1) difference quotient per

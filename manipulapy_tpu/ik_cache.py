@@ -56,8 +56,37 @@ class IKInitialGuessCache:
         self._poses: List[np.ndarray] = []
         self._solutions: List[np.ndarray] = []
         self._quality: List[float] = []
+        # Lazily-materialized inserts: (pose, success_dev, theta_dev)
+        # tuples whose device values have NOT been fetched yet. On a
+        # tunnelled chip a ``device_get`` is a ~22 ms round trip
+        # (benchmarks/ik_results.json link_rtt); deferring the fetch to
+        # the next lookup keeps ``smart_ik`` at one dispatch per call.
+        self._pending: List[Tuple[np.ndarray, object, object]] = []
+
+    def add_async(self, T: np.ndarray, success_dev, theta_dev) -> None:
+        """Queue an insert whose (success, theta) are still device
+        arrays; they are fetched in one batch at the next host-side
+        access (lookup/add/len)."""
+        # Start the device->host copies NOW without blocking: by the
+        # time the next lookup materializes, the bytes are usually
+        # already on the host and device_get returns immediately.
+        for arr in (success_dev, theta_dev):
+            copy_async = getattr(arr, "copy_to_host_async", None)
+            if copy_async is not None:
+                copy_async()
+        self._pending.append((np.asarray(T, dtype=np.float64).copy(), success_dev, theta_dev))
+
+    def _materialize(self) -> None:
+        if not self._pending:
+            return
+        pending, self._pending = self._pending, []
+        fetched = jax.device_get([(s, th) for _, s, th in pending])
+        for (T, _, _), (success, theta) in zip(pending, fetched):
+            if bool(success):
+                self.add(T, np.asarray(theta, dtype=np.float64))
 
     def __len__(self) -> int:
+        self._materialize()
         return len(self._poses)
 
     def add(self, T: np.ndarray, theta: np.ndarray, quality: float = 1.0) -> None:
@@ -73,6 +102,15 @@ class IKInitialGuessCache:
     def lookup(self, T: np.ndarray, max_distance: float = np.inf) -> Optional[np.ndarray]:
         """Quality-weighted blend of the k nearest cached solutions
         (``ik_helpers.py:300-340``); None on a miss."""
+        hit = self.lookup_with_distance(T, max_distance)
+        return None if hit is None else hit[0]
+
+    def lookup_with_distance(
+        self, T: np.ndarray, max_distance: float = np.inf
+    ) -> Optional[Tuple[np.ndarray, float]]:
+        """Like :meth:`lookup` but also returns the nearest-entry pose
+        distance, so callers can gate fast paths on hit proximity."""
+        self._materialize()
         if not self._poses:
             return None
         T = np.asarray(T, dtype=np.float64)
@@ -82,9 +120,11 @@ class IKInitialGuessCache:
             return None
         w = np.array([self._quality[i] / (d[i] + 1e-6) for i in order])
         w = w / w.sum()
-        return np.einsum("i,ij->j", w, np.stack([self._solutions[i] for i in order]))
+        blend = np.einsum("i,ij->j", w, np.stack([self._solutions[i] for i in order]))
+        return blend, float(d[order[0]])
 
     def clear(self) -> None:
+        self._pending.clear()
         self._poses.clear()
         self._solutions.clear()
         self._quality.clear()
@@ -98,6 +138,7 @@ def smart_ik(
     q_current: Optional[jnp.ndarray] = None,
     cache: Optional[IKInitialGuessCache] = None,
     seed: int = 0,
+    fast_path_distance: float = 0.25,
     **solve_kw,
 ) -> IKResult:
     """Strategy-dispatched IK with an automatic fallback chain
@@ -105,7 +146,14 @@ def smart_ik(
 
     Strategies: ``workspace_heuristic`` / ``extrapolate`` / ``cached`` /
     ``random`` / ``midpoint`` / ``auto`` (chain through all of them,
-    stopping at the first success). Successful solves populate ``cache``.
+    stopping at the first success). Successful solves populate ``cache``
+    *lazily* (one batched fetch at the next lookup — no sync here).
+
+    ``fast_path_distance``: on an ``auto`` chain, a cache hit whose
+    nearest entry is within this pose distance is raced ALONE first
+    (one small dispatch); only a failure falls through to the full
+    strategy race. Repeated near-identical queries — the cache's use
+    case — then cost a single m=1 solve instead of the full chain.
     """
 
     # The only host-side strategy is the cache lookup (a k-NN over host
@@ -122,13 +170,15 @@ def smart_ik(
     )
     extras = []
     device_chain = []
+    hit_dist = np.inf
     for s in chain:
         if s == "cached":
             if cache is None:
                 continue
-            hit = cache.lookup(np.asarray(T_desired))
+            hit = cache.lookup_with_distance(np.asarray(T_desired))
             if hit is not None:
-                extras.append(np.asarray(hit, dtype=np.float64))
+                extras.append(np.asarray(hit[0], dtype=np.float64))
+                hit_dist = hit[1]
         elif s == "extrapolate":
             if q_current is not None:
                 device_chain.append(s)
@@ -150,20 +200,27 @@ def smart_ik(
         if q_current is not None
         else jnp.zeros(n, dtype=model.dtype)
     )
-    res = _smart_core(
-        model,
-        jnp.asarray(T_desired, dtype=model.dtype),
-        extra_stack,
-        qc,
-        seed,
-        len(extras),
-        tuple(device_chain),
-        freeze_solve_kw(solve_kw),
-    )
+    Td = jnp.asarray(T_desired, dtype=model.dtype)
+    kw = freeze_solve_kw(solve_kw)
+
+    # Cache-hit fast path: a *near* hit (see ``fast_path_distance``) is
+    # raced alone first — one m=1 dispatch; only a failure falls through
+    # to the full chain. Far hits skip the gamble (a failed fast path
+    # costs a full link round trip on a tunnelled chip).
+    res = None
+    if extras and device_chain and strategy == "auto" and hit_dist <= fast_path_distance:
+        hit_res = _smart_core(model, Td, extra_stack, qc, seed, 1, (), kw)
+        if bool(jax.device_get(hit_res.success)):
+            res = hit_res
+    if res is None:
+        res = _smart_core(
+            model, Td, extra_stack, qc, seed, len(extras), tuple(device_chain), kw
+        )
     if cache is not None:
-        success, theta = jax.device_get((res.success, res.theta))
-        if bool(success):
-            cache.add(np.asarray(T_desired), np.asarray(theta))
+        # Lazy insert: no device_get here — smart_ik stays at one
+        # dispatch per call; the fetch happens batched at the next
+        # host-side cache access.
+        cache.add_async(np.asarray(T_desired), res.success, res.theta)
     return res
 
 

@@ -611,6 +611,10 @@ def build_batch_tracking_mpc(
             g = jnp.asarray(q_goal_new, jnp.float32)
             if g.ndim == 1:  # shared goal, like the build-time path
                 g = jnp.broadcast_to(g, (B, n))
+            elif g.shape[0] != B:
+                raise ValueError(
+                    f"q_goal_new batch {g.shape[0]} != declared batch {B}"
+                )
             gp = jnp.concatenate([g, jnp.zeros((pad, n), jnp.float32)], axis=0)
             goal_t = stage_state(gp)
         return solve_impl(x0, us_init, goal_t)

@@ -147,6 +147,22 @@ def build_pallas_rollout(
     def rollout(q0: jnp.ndarray, dq0: jnp.ndarray, taumat: jnp.ndarray):
         if tiled_io:
             # Native layout: q0/dq0 (Bt, n, 8, 128), taumat (Bt, N, n, 8, 128).
+            # Validate here: a caller passing unstaged (B, n)/(B, N, n)
+            # arrays would otherwise hit an opaque shape error deep in
+            # pallas_call (use ``stage_batch`` to convert).
+            if taumat.ndim != 5 or taumat.shape[-2:] != (_SUB, _LANE):
+                raise ValueError(
+                    "tiled_io rollout expects taumat (Bt, N, n, 8, 128) "
+                    f"kernel-native tiles, got {taumat.shape}; use stage_batch()"
+                )
+            if q0.ndim != 4 or q0.shape[-2:] != (_SUB, _LANE):
+                raise ValueError(
+                    "tiled_io rollout expects q0/dq0 (Bt, n, 8, 128) tiles, "
+                    f"got {q0.shape}; use stage_batch()"
+                )
+            q0 = q0.astype(jnp.float32)
+            dq0 = dq0.astype(jnp.float32)
+            taumat = taumat.astype(jnp.float32)
             Bt, N = taumat.shape[0], taumat.shape[1]
             q0_s, dq0_s, tau_s = q0, dq0, taumat
         else:

@@ -306,7 +306,14 @@ class TracIKSolver:
             # cost an extra dispatch + sync per round.
             round_seed = int(self._host_rng.integers(2**31 - 1))
             res = self.solve_round(T_desired, theta0, seed=round_seed)
-            ok, err = jax.device_get((res.success, res.rot_err + res.trans_err))
+            # NOTE: sum the two errors on the HOST — ``res.rot_err +
+            # res.trans_err`` would be an eager device op, i.e. a second
+            # dispatch round trip per round on a tunnelled chip
+            # (measured: ~22 ms RTT, benchmarks/ik_results.json link_rtt).
+            ok, rot_e, trans_e = jax.device_get(
+                (res.success, res.rot_err, res.trans_err)
+            )
+            err = float(rot_e) + float(trans_e)
             if best is None or float(err) < best_err:
                 best, best_err = res, float(err)
             if bool(ok):

@@ -356,15 +356,24 @@ class URDF:
             "velocity": velocity,
         }
 
-    def to_robot_model(self, tip_link: Optional[str] = None, dtype=None) -> RobotModel:
+    def to_robot_model(
+        self,
+        tip_link: Optional[str] = None,
+        dtype=None,
+        chain_joints_only: bool = False,
+    ) -> RobotModel:
         """Build the device-side :class:`RobotModel` (the analogue of
         ``to_serial_manipulator`` + ``to_manipulator_dynamics``,
         ``urdf/core.py:758-804`` — always the accurate ``Mlist_per_link``
         path that only the reference's facade wires up correctly,
-        ``urdf_processor.py:292-301``)."""
+        ``urdf_processor.py:292-301``). ``chain_joints_only`` restricts
+        the joint set to the root->tip chain (see
+        :meth:`extract_screw_axes`) — the right choice for branched
+        robots, where off-chain actuated joints must not enter the
+        serial PoE product."""
         import jax.numpy as jnp
 
-        data = self.extract_screw_axes(tip_link)
+        data = self.extract_screw_axes(tip_link, chain_joints_only=chain_joints_only)
         return make_robot_model(
             data["M"],
             data["S_list"],

@@ -117,6 +117,32 @@ class TestGuessCache:
         far[0, 3] = 10.0
         assert cache.lookup(far, max_distance=1.0) is None
 
+    def test_lookup_with_distance(self):
+        cache = IKInitialGuessCache()
+        cache.add(np.eye(4), np.zeros(6))
+        near = np.eye(4)
+        near[0, 3] = 0.1
+        hit = cache.lookup_with_distance(near)
+        assert hit is not None
+        guess, dist = hit
+        assert guess.shape == (6,)
+        assert abs(dist - 0.1) < 1e-9
+
+    def test_add_async_lazy_materialization(self):
+        """add_async defers the device fetch; a successful pending entry
+        lands at the next host-side access, a failed one is dropped."""
+        import jax.numpy as jnp
+
+        cache = IKInitialGuessCache()
+        cache.add_async(np.eye(4), jnp.asarray(True), jnp.ones(6))
+        T_fail = np.eye(4)
+        T_fail[0, 3] = 5.0
+        cache.add_async(T_fail, jnp.asarray(False), jnp.zeros(6))
+        assert len(cache._pending) == 2  # nothing fetched yet
+        assert len(cache) == 1  # materializes: success kept, failure dropped
+        hit = cache.lookup(np.eye(4))
+        np.testing.assert_allclose(hit, np.ones(6), atol=1e-9)
+
 
 class TestSmartRobust:
     def test_smart_auto_converges_and_fills_cache(self, ur5):
@@ -134,6 +160,20 @@ class TestSmartRobust:
         res = smart_ik(ur5, T, strategy="cached", cache=cache, max_iterations=50)
         assert bool(res.success)
         assert int(res.iterations) <= 5  # warm start converges immediately
+
+    def test_smart_fast_path_on_near_hit(self, ur5):
+        """A repeated near-identical query takes the m=1 fast path (the
+        cached guess races alone) and still succeeds."""
+        cache = IKInitialGuessCache()
+        q_true = jnp.asarray([0.4, -0.6, 0.7, 0.3, -0.2, 0.4], dtype=jnp.float64)
+        T = _target(ur5, q_true)
+        res1 = smart_ik(ur5, T, cache=cache, max_iterations=150)
+        assert bool(res1.success)
+        # Second query at the same pose: nearest-entry distance ~0 →
+        # fast path; the warm start converges in a handful of iterations.
+        res2 = smart_ik(ur5, T, cache=cache, max_iterations=150)
+        assert bool(res2.success)
+        assert int(res2.iterations) <= 10
 
     def test_smart_unknown_strategy_raises(self, ur5):
         with pytest.raises(ValueError, match="Unknown IK strategy"):

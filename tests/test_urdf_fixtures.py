@@ -1,0 +1,245 @@
+"""On-disk URDF fixture corpus tests.
+
+Coverage parity with the reference's ``tests/urdf_fixtures/`` corpus
+(11 fixtures: simple arm, branched, cyclic, multi-root, mimic,
+transmissions, planar/floating, primitives, continuous, prismatic,
+malformed — exercised by ``/root/reference/tests/test_urdf_processor.py``):
+every structural/edge-case family is covered here by an independently
+authored fixture file loaded from disk, not an inline string — so the
+corpus doubles as example data and the loader's file path is exercised.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from manipulapy_tpu.urdf import URDF, URDFParser, validate
+from manipulapy_tpu.urdf.types import Box, Cylinder, JointType, Mesh, Sphere
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "urdf_fixtures")
+
+
+def fixture(name: str) -> str:
+    return os.path.join(FIXTURES, name)
+
+
+class TestSimpleArm:
+    def test_parse_validate_clean(self):
+        robot = URDFParser().parse_file(fixture("simple_arm.urdf"))
+        res = validate(robot)
+        assert res.is_valid, [str(i) for i in res.errors]
+        assert len(robot.links) == 3 and len(robot.joints) == 2
+
+    def test_fk_at_zero(self):
+        u = URDF.load(fixture("simple_arm.urdf"))
+        fk = u.link_fk()
+        # shoulder lifts 0.1 in z, elbow offsets 0.4 in x
+        np.testing.assert_allclose(fk["fore"][:3, 3], [0.4, 0.0, 0.1], atol=1e-12)
+
+    def test_to_robot_model_matches_hand_fk(self):
+        import jax.numpy as jnp
+
+        from manipulapy_tpu.kinematics import forward_kinematics
+
+        u = URDF.load(fixture("simple_arm.urdf"))
+        model = u.to_robot_model(dtype=jnp.float64)
+        assert model.num_joints == 2
+        q = jnp.asarray([0.7, -0.4])
+        T = forward_kinematics(model, q)
+        # planar geometry: both z-axis revolute joints, link lengths 0.4/0.0
+        # (tip frame sits at the elbow joint), so p = R(q1) [0.4, 0, 0] + z
+        x = 0.4 * np.cos(0.7)
+        y = 0.4 * np.sin(0.7)
+        np.testing.assert_allclose(np.asarray(T[:3, 3]), [x, y, 0.1], atol=1e-9)
+
+
+class TestInvalidStructures:
+    def test_cyclic_validation_flags_no_root(self):
+        robot = URDFParser().parse_file(fixture("cyclic.urdf"))
+        res = validate(robot)
+        assert not res.is_valid
+        assert any(i.code == "no_root" for i in res.errors)
+
+    def test_cyclic_load_raises(self):
+        with pytest.raises(ValueError, match="cycle|root"):
+            URDF.load(fixture("cyclic.urdf"))
+
+    def test_multi_root_warns_but_loads(self):
+        robot = URDFParser().parse_file(fixture("multi_root.urdf"))
+        res = validate(robot)
+        assert any(i.code == "multiple_roots" for i in res.warnings)
+        u = URDF.load(fixture("multi_root.urdf"))
+        assert len(u.roots) == 2
+        assert u.base_link == u.roots[0]  # first root is primary
+
+    def test_missing_links_validation(self):
+        robot = URDFParser().parse_file(fixture("missing_links.urdf"))
+        res = validate(robot)
+        assert not res.is_valid
+        codes = {i.code for i in res.errors}
+        # dangling parent/child refs AND the duplicated joint name
+        assert any("duplicate" in c for c in codes), codes
+        assert any("parent" in c or "child" in c or "reference" in c for c in codes), codes
+
+    def test_missing_links_load_raises(self):
+        with pytest.raises(ValueError, match="unknown (parent|child) link"):
+            URDF.load(fixture("missing_links.urdf"))
+
+    def test_bad_inertia_flags(self):
+        robot = URDFParser().parse_file(fixture("bad_inertia.urdf"))
+        res = validate(robot)
+        codes = {i.code for i in res.errors}
+        assert "negative_mass" in codes
+        assert "inverted_limits" in codes
+
+
+class TestMimic:
+    def test_mimic_propagates_in_fk(self):
+        u = URDF.load(fixture("mimic_joints.urdf"))
+        q = 0.03
+        fk = u.link_fk({"left_finger_joint": q})
+        # left finger slides +y by q; right mimics with mult -1, offset 0.005
+        np.testing.assert_allclose(fk["left_finger"][1, 3], 0.02 + q, atol=1e-12)
+        np.testing.assert_allclose(fk["right_finger"][1, 3], -0.02 + (-q + 0.005), atol=1e-12)
+
+    def test_mimic_in_batch_fk(self):
+        u = URDF.load(fixture("mimic_joints.urdf"))
+        qs = np.array([[0.0], [0.02], [0.04]])  # one actuated joint
+        fk = u.link_fk_batch(qs)
+        np.testing.assert_allclose(fk["right_finger"][:, 1, 3], -0.02 + (-qs[:, 0] + 0.005), atol=1e-12)
+
+    def test_mimic_excluded_from_actuated(self):
+        u = URDF.load(fixture("mimic_joints.urdf"))
+        names = [j.name for j in u.actuated_joints]
+        assert "left_finger_joint" in names
+        assert "right_finger_joint" not in names
+
+
+class TestTransmissions:
+    def test_parsed_fields(self):
+        robot = URDFParser().parse_file(fixture("transmissions.urdf"))
+        assert len(robot.transmissions) == 2
+        t = {tr.name: tr for tr in robot.transmissions}["wheel_trans"]
+        assert t.type.endswith("SimpleTransmission")
+        assert t.joints[0].name == "wheel_joint"
+        assert t.joints[0].hardware_interface.endswith("VelocityJointInterface")
+        assert t.actuators[0].name == "wheel_motor"
+        assert t.actuators[0].mechanical_reduction == pytest.approx(42.0)
+
+    def test_dangling_transmission_warns(self):
+        robot = URDFParser().parse_file(fixture("transmissions.urdf"))
+        res = validate(robot)
+        assert res.is_valid  # warnings only
+        assert any("no_such_joint" in i.message for i in res.warnings)
+
+
+class TestMultiDofJoints:
+    def test_floating_planar_chain_loads(self):
+        u = URDF.load(fixture("floating_planar.urdf"))
+        jt = {j.name: j.joint_type for j in u.joints}
+        assert jt["base_float"] == JointType.FLOATING
+        assert jt["stage_slide"] == JointType.PLANAR
+        # only the revolute arm joint is actuated in the scalar-cfg sense
+        assert [j.name for j in u.actuated_joints] == ["arm_pitch"]
+
+    def test_floating_planar_default_fk_stacks_origins(self):
+        u = URDF.load(fixture("floating_planar.urdf"))
+        fk = u.link_fk()
+        np.testing.assert_allclose(fk["chassis"][2, 3], 0.5, atol=1e-12)
+        np.testing.assert_allclose(fk["stage"][2, 3], 0.7, atol=1e-12)
+        np.testing.assert_allclose(fk["arm"][:3, 3], [0.1, 0.0, 0.75], atol=1e-12)
+
+
+class TestContinuousPrismaticFixed:
+    def test_limits_shape(self):
+        u = URDF.load(fixture("continuous_prismatic.urdf"))
+        lim = dict(zip([j.name for j in u.actuated_joints], u.joint_limits))
+        assert lim["turret_spin"] == (None, None)  # continuous: unbounded
+        assert lim["lift"] == (0.0, 0.6)
+
+    def test_prismatic_moves_fixed_follows(self):
+        u = URDF.load(fixture("continuous_prismatic.urdf"))
+        fk0 = u.link_fk({"lift": 0.0})
+        fk1 = u.link_fk({"lift": 0.5})
+        dz_carriage = fk1["carriage"][2, 3] - fk0["carriage"][2, 3]
+        dz_tool = fk1["tool"][2, 3] - fk0["tool"][2, 3]
+        np.testing.assert_allclose(dz_carriage, 0.5, atol=1e-12)
+        np.testing.assert_allclose(dz_tool, 0.5, atol=1e-12)  # fixed mount rides along
+
+    def test_continuous_rotation_wraps_tool(self):
+        u = URDF.load(fixture("continuous_prismatic.urdf"))
+        fk = u.link_fk({"turret_spin": np.pi})
+        # tool x offset 0.05 flips sign under a pi turret rotation
+        np.testing.assert_allclose(fk["tool"][0, 3], -0.05, atol=1e-9)
+
+    def test_to_robot_model_mixed_screws(self):
+        import jax.numpy as jnp
+
+        u = URDF.load(fixture("continuous_prismatic.urdf"))
+        model = u.to_robot_model(dtype=jnp.float64)
+        assert model.num_joints == 2
+        norms = np.linalg.norm(np.asarray(model.screws_space[:, :3]), axis=-1)
+        np.testing.assert_allclose(norms, [1.0, 0.0], atol=1e-12)  # revolute, prismatic
+
+
+class TestBranched:
+    def test_tip_selection_prefers_deepest_actuated(self):
+        u = URDF.load(fixture("branched.urdf"))
+        assert u.default_tip_link() == "l_hand"
+
+    def test_end_links(self):
+        u = URDF.load(fixture("branched.urdf"))
+        assert set(u.end_links) == {"l_hand", "r_plate", "camera"}
+
+    def test_chain_to_tip(self):
+        u = URDF.load(fixture("branched.urdf"))
+        chain = u.get_chain()
+        assert chain[0] == "torso" and chain[-1] == "l_hand"
+        assert len(chain) == 4
+
+    def test_model_joint_selection(self):
+        import jax.numpy as jnp
+
+        u = URDF.load(fixture("branched.urdf"))
+        # default: every actuated joint participates (reference semantics)
+        assert u.to_robot_model(dtype=jnp.float64).num_joints == 4
+        # chain restriction: only the root->tip (left-arm) joints
+        model = u.to_robot_model(dtype=jnp.float64, chain_joints_only=True)
+        assert model.num_joints == 3  # l_shoulder, l_elbow, l_wrist
+
+
+class TestPrimitives:
+    def test_geometry_kinds(self):
+        robot = URDFParser().parse_file(fixture("primitives.urdf"))
+        links = {l.name: l for l in robot.links}
+        assert isinstance(links["base"].visuals[0].geometry, Box)
+        assert isinstance(links["post"].visuals[0].geometry, Cylinder)
+        assert isinstance(links["bulb"].visuals[0].geometry, Sphere)
+        mesh = links["ornament"].visuals[0].geometry
+        assert isinstance(mesh, Mesh)
+        np.testing.assert_allclose(mesh.scale, [0.001, 0.001, 0.001])
+        # collisions parsed independently of visuals
+        assert isinstance(links["base"].collisions[0].geometry, Box)
+        np.testing.assert_allclose(links["post"].collisions[0].geometry.radius, 0.05)
+
+    def test_link_radii_finite_with_missing_mesh(self):
+        u = URDF.load(fixture("primitives.urdf"))
+        radii = u.link_radii()
+        # one radius per actuated-chain child link (j1, j2)
+        assert radii.shape[0] == len(u.actuated_joints) == 2
+        assert np.all(np.isfinite(radii)) and np.all(radii > 0)
+
+    def test_material_color_parsed(self):
+        robot = URDFParser().parse_file(fixture("primitives.urdf"))
+        base = {l.name: l for l in robot.links}["base"]
+        assert base.visuals[0].material is not None
+
+
+class TestMalformedRecovery:
+    def test_repair_salvages_file(self):
+        robot = URDFParser().parse_file(fixture("malformed_recoverable.urdf"))
+        assert "&" in robot.name  # the raw ampersand survived as data
+        assert len(robot.links) == 2 and len(robot.joints) == 1
+        res = validate(robot)
+        assert res.is_valid, [str(i) for i in res.errors]
