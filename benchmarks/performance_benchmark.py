@@ -197,9 +197,13 @@ def _run_mpc(quick: bool = False):
         build_compile_s = _time.perf_counter() - t0
 
         bare = time_fn(f"{name}_bare", lambda: solver.solve(x0, us0), iters=8)
+        # k spread sized so the chained work (~10-20 solves) dominates
+        # tunnel jitter: at 0.4-1.2 ms/solve a 1-vs-5 chain is only 2-5 ms
+        # of work vs multi-ms round-trip variance, which produced NaN
+        # (t_large < t_small) for the 2-iteration config in round 4.
         row = device_latency(
             name, inline_chain(receding_step(solver, H, n), (x0, us0)),
-            k_small=1, k_large=5, items_per_call=1,
+            k_small=2, k_large=18, reps=5, items_per_call=1,
             solver="fused-pallas", horizon=H, iterations=iterations,
             robot="panda (calibrated, vendored URDF)", n_joints=n,
             build_plus_first_solve_compile_s=build_compile_s,

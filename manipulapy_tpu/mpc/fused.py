@@ -62,6 +62,11 @@ class TrackingMPC(NamedTuple):
     linearize: callable = None
     backward: callable = None
     forward: callable = None
+    # The jitted core ``solve_impl(x0, us_init, goal_row)`` and the
+    # build-time goal row — exposed so utils/aot.py can AOT-compile and
+    # serialize the executable for cold-start elimination.
+    solve_impl: callable = None
+    goal_default: object = None
 
 
 def _stage_time_lanes(x, lanes=_LANES):
@@ -502,4 +507,5 @@ def build_tracking_mpc(
     return TrackingMPC(
         solve=solve, horizon=H, n=n,
         linearize=linearize_unpacked, backward=backward, forward=forward,
+        solve_impl=solve_impl, goal_default=goal_row_c,
     )

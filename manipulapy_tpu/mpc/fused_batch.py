@@ -70,6 +70,11 @@ class BatchTrackingMPC(NamedTuple):
     backward: callable = None
     linesearch_costs: callable = None
     replay: callable = None
+    # The jitted core ``solve_impl(x0, us_init, goal_tiles)`` and the
+    # build-time goal tiles — exposed so utils/aot.py can AOT-compile
+    # and serialize the executable for cold-start elimination.
+    solve_impl: callable = None
+    goal_default: object = None
 
 
 def _chol_solve_tiles(M, rhs_cols):
@@ -623,6 +628,7 @@ def build_batch_tracking_mpc(
         solve=solve, horizon=H, n=n, batch=B,
         linearize=linearize, backward=backward,
         linesearch_costs=linesearch_costs, replay=replay,
+        solve_impl=solve_impl, goal_default=goal_tiles_c,
     )
 
 

@@ -125,7 +125,12 @@ cells = [
         "Holding a 2 kg payload (19.6 N down) at the current pose costs:"
     ),
     code(
-        "F_tip = jnp.array([0.0, 0.0, 0.0, 0.0, 0.0, -19.62])  # [m; f], space frame\n"
+        "# A force f applied AT the end-effector (position p) is, in space\n"
+        "# coordinates, the wrench [p x f; f] — the moment term matters:\n"
+        "# omitting it would model a force acting at the origin instead.\n"
+        "p_ee = T[:3, 3]\n"
+        "f_z = jnp.array([0.0, 0.0, -19.62])\n"
+        "F_tip = jnp.concatenate([jnp.cross(p_ee, f_z), f_z])\n"
         "tau = Js.T @ F_tip\n"
         "for i, t in enumerate(tau):\n"
         "    print(f'  joint {i+1}: {float(t):+8.3f} N·m')"

@@ -32,16 +32,31 @@ def _run_demo(rel_path, *argv):
 
 class TestExamples:
     def test_kinematics_demo(self):
-        out = _run_demo("examples/basic/kinematics_demo.py")
-        assert "batched FK over 10000 configs" in out
+        out = _run_demo("examples/basic/kinematics_demo.py", "--quick")
+        assert "space-vs-body frame max diff" in out
+        assert "payload" in out
+        assert "saved workspace plot" in out or "matplotlib unavailable" in out
+
+    def test_dynamics_demo_quick(self):
+        out = _run_demo("examples/basic/dynamics_demo.py", "--quick")
+        assert "RNEA vs composed Lagrangian agreement" in out
+        assert "energy balance" in out
+        assert "work-energy mismatch" in out
 
     def test_urdf_demo(self):
-        out = _run_demo("examples/basic/urdf_demo.py")
-        assert "FK->IK roundtrip: success=True" in out
+        out = _run_demo("examples/basic/urdf_demo.py", "--quick")
+        assert "IK from a perturbed guess: success=True" in out
+        assert "robots parse + validate clean" in out
 
     def test_perception_demo(self):
-        out = _run_demo("examples/intermediate/perception_demo.py")
-        assert "detected 2 obstacles" in out
+        out = _run_demo("examples/intermediate/perception_demo.py", "--quick")
+        assert "detected 3 obstacles (truth: 3)" in out
+        assert "correct segmentation is stable" in out
+
+    def test_singularity_demo_quick(self):
+        out = _run_demo("examples/intermediate/singularity_analysis_demo.py", "--quick")
+        assert "sigma_min minimized at" in out
+        assert "audit a planned path" in out
 
     def test_tpu_acceleration_demo_quick(self):
         out = _run_demo("examples/advanced/tpu_acceleration_demo.py", "--quick")
