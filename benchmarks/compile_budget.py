@@ -40,6 +40,10 @@ BUDGETS_S = {
     "rollout_cgen": 30.0,
     "rollout_pallas": 30.0,
     "ik_batch": 60.0,
+    # Cold-start story (VERDICT r4 weak #6): a FRESH process using the
+    # shipped AOT executables (tools/warmup.py) must reach its first
+    # fused solve in <= 10 s — no recompilation, just deserialize + run.
+    "aot_fresh_process_first_solve": 10.0,
 }
 
 
@@ -150,6 +154,42 @@ def run():
     qs = jax.random.uniform(key, (256, 6), minval=-1, maxval=1, dtype=jnp.float32)
     targets = jax.jit(jax.vmap(lambda q: forward_kinematics(ur5, q)))(qs)
     timed("ik_batch", lambda i: ik_mod.solve_ik_batch(ur5, targets, qs, max_iterations=300))
+
+    # AOT cold start: prime once in THIS process (cost already covered by
+    # the rows above conceptually; here it builds the catalog-panda
+    # variants), then measure a FRESH subprocess loading the executables
+    # and reaching both first solves. The subprocess prints one JSON line
+    # (tools/warmup.py --load); the gated number is its
+    # process_start_to_both_solved_s.
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    warmup = os.path.join(repo, "tools", "warmup.py")
+    prime = subprocess.run(
+        [sys.executable, warmup, "--robot", "panda", "--batch", "1024"],
+        capture_output=True, text=True, timeout=1800,
+    )
+    if prime.returncode != 0:
+        results["aot_fresh_process_first_solve"] = {
+            "seconds": None, "budget_s": BUDGETS_S["aot_fresh_process_first_solve"],
+            "pass": False, "error": prime.stderr[-500:],
+        }
+        print("  aot_fresh_process_first_solve: PRIME FAILED")
+    else:
+        load = subprocess.run(
+            [sys.executable, warmup, "--robot", "panda", "--batch", "1024", "--load"],
+            capture_output=True, text=True, timeout=600,
+        )
+        line = [l for l in load.stdout.splitlines() if l.startswith("{")]
+        data = json.loads(line[-1]) if line else {}
+        secs = data.get("process_start_to_both_solved_s")
+        budget = BUDGETS_S["aot_fresh_process_first_solve"]
+        ok = bool(data.get("ok")) and secs is not None and secs <= budget
+        results["aot_fresh_process_first_solve"] = {
+            "seconds": secs, "budget_s": budget, "pass": ok, "detail": data,
+        }
+        print(f"  aot_fresh_process_first_solve: {secs}s fresh process -> both "
+              f"solvers solved (budget {budget:.0f}s) {'OK' if ok else 'OVER'}")
 
     return results
 

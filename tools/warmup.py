@@ -77,10 +77,16 @@ def load_and_measure(robot: str, batch: int, horizon: int, out_dir):
     from manipulapy_tpu.models import catalog
     from manipulapy_tpu.utils import aot
 
+    t_imports = time.perf_counter() - t_start
     model = catalog.get_robot(robot, dtype=jnp.float32)
     n = model.num_joints
     lat_name, batch_name = names(robot, batch, horizon)
-    out = {"backend": jax.default_backend(), "robot": robot}
+    out = {
+        "backend": jax.default_backend(),
+        "robot": robot,
+        "imports_s": round(t_imports, 2),
+        "model_setup_s": round(time.perf_counter() - t_start - t_imports, 2),
+    }
 
     t0 = time.perf_counter()
     solve1 = aot.load_tracking_mpc(aot.artifact_path(lat_name, out_dir))
