@@ -147,51 +147,54 @@ def run():
     taus = jnp.zeros((4096, 50, 6), jnp.float32)
     cg = build_rollout(ur5, dt=0.01, intRes=1)
     timed("rollout_cgen", lambda i: cg(q0, 0 * q0, taus))
-    pr = build_pallas_rollout(ur5, dt=0.01, intRes=1,
-                              interpret=jax.default_backend() != "tpu")
-    timed("rollout_pallas", lambda i: pr(q0, 0 * q0, taus))
+    # Median of 3 like the fused rows: a single draw measured 35.5 s on a
+    # loaded service where the median build is ~20 s.
+    def pallas_build(i):
+        pr = build_pallas_rollout(ur5, dt=0.01 + i * 1e-9, intRes=1,
+                                  interpret=jax.default_backend() != "tpu")
+        return pr(q0, 0 * q0, taus)
+
+    timed("rollout_pallas", pallas_build, reps=3)
 
     qs = jax.random.uniform(key, (256, 6), minval=-1, maxval=1, dtype=jnp.float32)
     targets = jax.jit(jax.vmap(lambda q: forward_kinematics(ur5, q)))(qs)
     timed("ik_batch", lambda i: ik_mod.solve_ik_batch(ur5, targets, qs, max_iterations=300))
 
-    # AOT cold start: prime once in THIS process (cost already covered by
-    # the rows above conceptually; here it builds the catalog-panda
-    # variants), then measure a FRESH subprocess loading the executables
-    # and reaching both first solves. The subprocess prints one JSON line
-    # (tools/warmup.py --load); the gated number is its
-    # process_start_to_both_solved_s.
+    return results
+
+
+def measure_aot_cold_start():
+    """AOT cold start, measured in SUBPROCESSES with exclusive chip
+    access: prime (build + export), then a fresh process loads the
+    executables and reaches both first solves. MUST run before this
+    process initializes its own TPU client — a parent holding the
+    tunnelled chip starves the child (measured: 5.7 s exclusive vs
+    138 s contended). The gated number is the child's
+    process_start_to_both_solved_s (tools/warmup.py --load)."""
     import subprocess
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     warmup = os.path.join(repo, "tools", "warmup.py")
+    budget = BUDGETS_S["aot_fresh_process_first_solve"]
     prime = subprocess.run(
         [sys.executable, warmup, "--robot", "panda", "--batch", "1024"],
         capture_output=True, text=True, timeout=1800,
     )
     if prime.returncode != 0:
-        results["aot_fresh_process_first_solve"] = {
-            "seconds": None, "budget_s": BUDGETS_S["aot_fresh_process_first_solve"],
-            "pass": False, "error": prime.stderr[-500:],
-        }
         print("  aot_fresh_process_first_solve: PRIME FAILED")
-    else:
-        load = subprocess.run(
-            [sys.executable, warmup, "--robot", "panda", "--batch", "1024", "--load"],
-            capture_output=True, text=True, timeout=600,
-        )
-        line = [l for l in load.stdout.splitlines() if l.startswith("{")]
-        data = json.loads(line[-1]) if line else {}
-        secs = data.get("process_start_to_both_solved_s")
-        budget = BUDGETS_S["aot_fresh_process_first_solve"]
-        ok = bool(data.get("ok")) and secs is not None and secs <= budget
-        results["aot_fresh_process_first_solve"] = {
-            "seconds": secs, "budget_s": budget, "pass": ok, "detail": data,
-        }
-        print(f"  aot_fresh_process_first_solve: {secs}s fresh process -> both "
-              f"solvers solved (budget {budget:.0f}s) {'OK' if ok else 'OVER'}")
-
-    return results
+        return {"seconds": None, "budget_s": budget, "pass": False,
+                "error": prime.stderr[-500:]}
+    load = subprocess.run(
+        [sys.executable, warmup, "--robot", "panda", "--batch", "1024", "--load"],
+        capture_output=True, text=True, timeout=600,
+    )
+    line = [l for l in load.stdout.splitlines() if l.startswith("{")]
+    data = json.loads(line[-1]) if line else {}
+    secs = data.get("process_start_to_both_solved_s")
+    ok = bool(data.get("ok")) and secs is not None and secs <= budget
+    print(f"  aot_fresh_process_first_solve: {secs}s fresh process -> both "
+          f"solvers solved (budget {budget:.0f}s) {'OK' if ok else 'OVER'}")
+    return {"seconds": secs, "budget_s": budget, "pass": ok, "detail": data}
 
 
 def main() -> int:
@@ -199,9 +202,13 @@ def main() -> int:
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "compile_budget_results.json"))
     args = ap.parse_args()
+    # BEFORE this process touches the chip: the AOT subprocesses need
+    # exclusive device access (see measure_aot_cold_start).
+    aot_row = measure_aot_cold_start()
     backend = setup_backend()
     print(f"backend: {backend}")
     results = run()
+    results["aot_fresh_process_first_solve"] = aot_row
     ok = all(r["pass"] for r in results.values())
     write_artifact(args.out, {
         "benchmark": "compile_budget",
