@@ -27,7 +27,7 @@ import importlib
 import os
 from typing import TYPE_CHECKING
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 # TPU MXU passes for f32 matmuls default to bf16 (~8 mantissa bits), which
 # breaks dynamics parity: Lagrangian-vs-RNEA torque agreement degrades from
