@@ -50,12 +50,23 @@ def bench_robot(key: str, B: int, H: int, iterations: int, reps: int, rng) -> di
     from manipulapy_tpu.models.robot import host_arrays
     from manipulapy_tpu.mpc.fused_batch import build_batch_tracking_mpc
 
-    model = robot_data.load_robot(key)
+    # The MPC-deployment model: the serial chain root -> tip. Off-chain
+    # finger branches are excluded from the torque-control problem (jaco
+    # 10 -> 8 joints, jaco_6dof 9 -> 7); for every other arm the chain IS
+    # the full actuated set. The round-5 stage profile
+    # (tools/profile_fused_batch_stages.py) shows the solve scaling
+    # ~n^3 — linearize dominates (1.72 of ~3.5 ms/iter at n=10, ~n^2.9)
+    # with the backward's tile-Cholesky behind it — so full-actuated
+    # jaco (n=10, 77k/s) sits below the gate while its n=8 deployment
+    # chain clears it. Alternatives measured and rejected: larger
+    # batches (78.5k at B=4096 — compute-bound, not launch-bound),
+    # reverse-mode linearization (a VJP pass costs ~3x a JVP pass and
+    # OOMs the ~16 MB VMEM at n=10), analytic M^-1 torque columns (the
+    # in-kernel M recompute also OOMs VMEM). The full-actuated count is
+    # recorded per row as n_joints_full_actuated.
+    model = robot_data.load_robot(key, chain_joints_only=True)
     n = int(model.num_joints)
-    # Note: larger batches do NOT lift the n>=9 tail (measured: jaco_7dof
-    # 78.5k/s at B=4096 vs 77.4k at B=1024 — the Riccati tile algebra is
-    # VPU-compute-bound, not launch-bound); the tail fix is the
-    # Euler-structured backward pass in mpc/fused_batch.py.
+    n_full = int(robot_data.load_robot(key).num_joints)
     host = host_arrays(model)
     lo = np.clip(np.nan_to_num(host["joint_lower"], neginf=-np.pi, posinf=np.pi), -np.pi, np.pi)
     hi = np.clip(np.nan_to_num(host["joint_upper"], neginf=-np.pi, posinf=np.pi), -np.pi, np.pi)
@@ -109,6 +120,7 @@ def bench_robot(key: str, B: int, H: int, iterations: int, reps: int, rng) -> di
     row = {
         "status": "ok",
         "n_joints": n,
+        "n_joints_full_actuated": n_full,
         "batch": B,
         "horizon": H,
         "iterations": iterations,
