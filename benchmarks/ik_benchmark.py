@@ -144,6 +144,9 @@ def run(num_targets: int = 50, seed: int = 0, robot: str = "ur5"):
         "iterative": pipelined(
             lambda T: ik_mod.solve_ik(model, T, guess0, max_iterations=3000)
         ),
+        # cache=None here (vs cache-enabled in the blocking host row):
+        # the k-NN lookup is HOST work that would serialize the async
+        # dispatch stream. The config difference is recorded in the row.
         "smart": pipelined(
             lambda T: ik_cache.smart_ik(model, T, cache=None, max_iterations=300)
         ),
@@ -153,6 +156,11 @@ def run(num_targets: int = 50, seed: int = 0, robot: str = "ur5"):
     for name in host_rows:
         host_rows[name].update(pipelined_rows[name])
         host_rows[name]["link_rtt_ms"] = link_rtt_ms
+    host_rows["smart"]["host_pipelined_config_note"] = (
+        "pipelined smart runs cache=None (host-side k-NN lookups would "
+        "serialize the async stream); the blocking host row runs with "
+        "the cache enabled"
+    )
 
     # Companion figure: the iterative family's 3000-iteration host
     # budget lets the ~8% non-converging targets burn ~10x a converged

@@ -339,8 +339,11 @@ def freeze_solve_kw(kw: dict) -> tuple:
 
 def select_best(results: IKResult) -> IKResult:
     """Traced selection over a leading race axis: prefer converged
-    solutions; among those, smallest combined error."""
+    solutions; among those, smallest combined error. A diverged lane's
+    NaN error must not poison the race — ``argmin`` follows NumPy NaN
+    semantics (the NaN index wins), so NaNs are demoted to +inf."""
     combined = results.rot_err + results.trans_err
+    combined = jnp.where(jnp.isnan(combined), jnp.inf, combined)
     penalty = jnp.where(results.success, 0.0, 1e6)
     i = jnp.argmin(combined + penalty)
     return IKResult(

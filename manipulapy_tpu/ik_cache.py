@@ -75,6 +75,11 @@ class IKInitialGuessCache:
             if copy_async is not None:
                 copy_async()
         self._pending.append((np.asarray(T, dtype=np.float64).copy(), success_dev, theta_dev))
+        # A caller that never performs a host-side access (e.g. smart_ik
+        # with a fixed non-'cached' strategy) must not grow _pending —
+        # and the pinned device buffers — without bound.
+        if len(self._pending) > self.max_entries:
+            self._materialize()
 
     def _materialize(self) -> None:
         if not self._pending:
@@ -90,7 +95,10 @@ class IKInitialGuessCache:
         return len(self._poses)
 
     def add(self, T: np.ndarray, theta: np.ndarray, quality: float = 1.0) -> None:
-        """Insert a solved pose; FIFO-evict beyond capacity."""
+        """Insert a solved pose; FIFO-evict beyond capacity. Pending
+        async inserts are materialized FIRST so insertion order (and
+        therefore FIFO eviction order) matches solve order."""
+        self._materialize()
         self._poses.append(np.asarray(T, dtype=np.float64).copy())
         self._solutions.append(np.asarray(theta, dtype=np.float64).copy())
         self._quality.append(float(quality))

@@ -155,11 +155,12 @@ def build_pallas_rollout(
                     "tiled_io rollout expects taumat (Bt, N, n, 8, 128) "
                     f"kernel-native tiles, got {taumat.shape}; use stage_batch()"
                 )
-            if q0.ndim != 4 or q0.shape[-2:] != (_SUB, _LANE):
-                raise ValueError(
-                    "tiled_io rollout expects q0/dq0 (Bt, n, 8, 128) tiles, "
-                    f"got {q0.shape}; use stage_batch()"
-                )
+            for name, arr in (("q0", q0), ("dq0", dq0)):
+                if arr.ndim != 4 or arr.shape[-2:] != (_SUB, _LANE):
+                    raise ValueError(
+                        f"tiled_io rollout expects {name} (Bt, n, 8, 128) "
+                        f"tiles, got {arr.shape}; use stage_batch()"
+                    )
             q0 = q0.astype(jnp.float32)
             dq0 = dq0.astype(jnp.float32)
             taumat = taumat.astype(jnp.float32)

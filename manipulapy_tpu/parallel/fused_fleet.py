@@ -149,6 +149,12 @@ def build_sharded_batch_mpc(
         )
 
     sh = NamedSharding(mesh, P(axis_name))
+    # Upload + shard the build-time goals ONCE: re-staging them per call
+    # would add an H2D transfer and a dispatch to every receding-horizon
+    # round on exactly the link this module exists to keep quiet.
+    goal_default_sharded = jax.device_put(
+        jnp.asarray(goal_default, jnp.float32), sh
+    )
 
     def solve(
         x0: jnp.ndarray,
@@ -160,7 +166,7 @@ def build_sharded_batch_mpc(
         if us_init.shape[0] != B:
             raise ValueError(f"us_init global batch {us_init.shape[0]} != {B}")
         if q_goal_new is None:
-            goals = jnp.asarray(goal_default)
+            goals = goal_default_sharded
         else:
             goals = jnp.asarray(q_goal_new, jnp.float32)
             if goals.ndim == 1:
@@ -169,7 +175,7 @@ def build_sharded_batch_mpc(
                 raise ValueError(
                     f"q_goal must be ({n},) or ({B}, {n}), got {goals.shape}"
                 )
-        goals = jax.device_put(goals, sh)
+            goals = jax.device_put(goals, sh)
         us, xs, cost, fleet = _solve(x0, us_init, goals)
         return us, xs, cost, fleet[0]
 

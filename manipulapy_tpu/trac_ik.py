@@ -35,6 +35,7 @@ from .ik import (
     geometric_error,
     midpoint_guess,
     random_guesses,
+    select_best,
     solve_ik,
     workspace_heuristic_guess,
 )
@@ -183,7 +184,6 @@ class TracIKSolver:
         self.eomg = float(eomg)
         self.ev = float(ev)
         self.num_guesses = int(num_guesses)
-        self._key = jax.random.PRNGKey(seed)
         import numpy as _np
 
         self._host_rng = _np.random.default_rng(seed)
@@ -221,50 +221,11 @@ class TracIKSolver:
             r_dls = self._dls_batch(T_desired, stack)
             r_sqp = self._sqp_batch(T_desired, stack)
             results = IKResult(*(jnp.concatenate([a, b]) for a, b in zip(r_dls, r_sqp)))
-            combined = results.rot_err + results.trans_err
-            penalty = jnp.where(results.success, 0.0, 1e6)
-            i = jnp.argmin(combined + penalty)
-            return IKResult(
-                results.theta[i],
-                results.success[i],
-                results.iterations[i],
-                results.rot_err[i],
-                results.trans_err[i],
-            )
+            # shared selection (ik.select_best): converged-first,
+            # NaN-safe — a diverged lane must not win the argmin.
+            return select_best(results)
 
         self._round = jax.jit(round_program, static_argnames=("with_theta0",))
-
-    # -- guesses (reference trac_ik.py:280-309) --------------------------------
-
-    def _guess_stack(self, T_desired, theta0) -> jnp.ndarray:
-        model = self.model
-        mid = midpoint_guess(model)
-        base = [
-            theta0 if theta0 is not None else workspace_heuristic_guess(model, T_desired),
-            mid,
-            jnp.zeros(model.num_joints, dtype=model.dtype),
-            -mid,
-        ]
-        num_random = max(self.num_guesses - len(base), 0)
-        self._key, sub = jax.random.split(self._key)
-        stack = jnp.stack(base)
-        if num_random:
-            stack = jnp.concatenate([stack, random_guesses(model, sub, num_random)])
-        return stack[: self.num_guesses]
-
-    @staticmethod
-    def _pick(results: IKResult) -> Tuple[IKResult, bool]:
-        combined = results.rot_err + results.trans_err
-        penalty = jnp.where(results.success, 0.0, 1e6)
-        i = int(jnp.argmin(combined + penalty))
-        out = IKResult(
-            results.theta[i],
-            results.success[i],
-            results.iterations[i],
-            results.rot_err[i],
-            results.trans_err[i],
-        )
-        return out, bool(out.success)
 
     def solve_round(
         self,
@@ -314,10 +275,13 @@ class TracIKSolver:
                 (res.success, res.rot_err, res.trans_err)
             )
             err = float(rot_e) + float(trans_e)
-            if best is None or float(err) < best_err:
-                best, best_err = res, float(err)
             if bool(ok):
-                return best
+                # Return THIS round's converged result — never a
+                # lower-error FAILED earlier round (a near-miss failure
+                # can have smaller combined error than a success).
+                return res
+            if best is None or err < best_err:
+                best, best_err = res, err
             if time.monotonic() >= deadline:
                 return best
             theta0 = None  # subsequent rounds re-randomize fully

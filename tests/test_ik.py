@@ -121,3 +121,31 @@ class TestGuessStrategies:
         T = jnp.eye(4, dtype=jnp.float64).at[:3, 3].set(jnp.asarray([0.0, 0.5, 0.3]))
         g = np.asarray(ik.workspace_heuristic_guess(ur5, T))
         assert g[0] == pytest.approx(np.pi / 2, abs=1e-6)
+
+
+class TestSelectBest:
+    def test_nan_lane_does_not_win(self):
+        """A diverged lane (NaN errors) must never beat a converged one:
+        jnp.argmin follows NumPy NaN semantics, so select_best demotes
+        NaN scores to +inf."""
+        results = ik.IKResult(
+            theta=jnp.asarray([[1.0, 1.0], [2.0, 2.0]]),
+            success=jnp.asarray([False, True]),
+            iterations=jnp.asarray([5, 7]),
+            rot_err=jnp.asarray([jnp.nan, 1e-7]),
+            trans_err=jnp.asarray([jnp.nan, 2e-7]),
+        )
+        best = ik.select_best(results)
+        assert bool(best.success)
+        np.testing.assert_allclose(np.asarray(best.theta), [2.0, 2.0])
+
+    def test_all_failed_picks_lowest_finite_error(self):
+        results = ik.IKResult(
+            theta=jnp.asarray([[1.0], [2.0], [3.0]]),
+            success=jnp.asarray([False, False, False]),
+            iterations=jnp.asarray([1, 2, 3]),
+            rot_err=jnp.asarray([jnp.nan, 0.5, 0.2]),
+            trans_err=jnp.asarray([jnp.nan, 0.1, 0.3]),
+        )
+        best = ik.select_best(results)
+        np.testing.assert_allclose(np.asarray(best.theta), [3.0])  # 0.5 < 0.6

@@ -128,6 +128,37 @@ class TestGuessCache:
         assert guess.shape == (6,)
         assert abs(dist - 0.1) < 1e-9
 
+    def test_add_async_pending_is_bounded(self):
+        """A caller that never does a host-side access (non-'cached'
+        strategy streams) must not grow _pending without bound."""
+        import jax.numpy as jnp
+
+        cache = IKInitialGuessCache(max_entries=4)
+        for i in range(20):
+            T = np.eye(4)
+            T[0, 3] = float(i)
+            cache.add_async(T, jnp.asarray(True), jnp.full(6, float(i)))
+        assert len(cache._pending) <= cache.max_entries + 1
+        assert len(cache) == 4  # FIFO bound applied
+
+    def test_direct_add_materializes_pending_first(self):
+        """add() flushes pending async inserts so FIFO order matches
+        solve order."""
+        import jax.numpy as jnp
+
+        cache = IKInitialGuessCache(max_entries=2)
+        T1 = np.eye(4)
+        cache.add_async(T1, jnp.asarray(True), jnp.ones(6))
+        T2 = np.eye(4)
+        T2[0, 3] = 1.0
+        cache.add(T2, np.full(6, 2.0))
+        T3 = np.eye(4)
+        T3[0, 3] = 2.0
+        cache.add(T3, np.full(6, 3.0))  # evicts the OLDEST = the async T1
+        assert len(cache) == 2
+        hit = cache.lookup(T1, max_distance=0.25)
+        assert hit is None  # T1 was first in, first out
+
     def test_add_async_lazy_materialization(self):
         """add_async defers the device fetch; a successful pending entry
         lands at the next host-side access, a failed one is dropped."""
@@ -142,6 +173,32 @@ class TestGuessCache:
         assert len(cache) == 1  # materializes: success kept, failure dropped
         hit = cache.lookup(np.eye(4))
         np.testing.assert_allclose(hit, np.ones(6), atol=1e-9)
+
+
+class TestSolveRoundSelection:
+    def test_solve_returns_current_successful_round(self, ur5):
+        """A converged round must be returned even when a FAILED earlier
+        round had lower combined error (near-miss failures can out-score
+        successes)."""
+        from manipulapy_tpu.ik import IKResult
+        from manipulapy_tpu.trac_ik import TracIKSolver
+
+        solver = TracIKSolver(ur5, timeout=10.0)
+        fail_low_err = IKResult(
+            theta=jnp.zeros(6), success=jnp.asarray(False),
+            iterations=jnp.asarray(10),
+            rot_err=jnp.asarray(1.5e-6), trans_err=jnp.asarray(1e-7),
+        )
+        success_higher_err = IKResult(
+            theta=jnp.ones(6), success=jnp.asarray(True),
+            iterations=jnp.asarray(12),
+            rot_err=jnp.asarray(9e-7), trans_err=jnp.asarray(9.5e-7),
+        )
+        calls = iter([fail_low_err, success_higher_err])
+        solver._round = lambda *a, **k: next(calls)
+        res = solver.solve(jnp.eye(4, dtype=jnp.float64))
+        assert bool(res.success)
+        np.testing.assert_allclose(np.asarray(res.theta), np.ones(6))
 
 
 class TestSmartRobust:
