@@ -264,6 +264,9 @@ def _smart_core(
     results = jax.vmap(lambda th: solve_ik(model, T_desired, th, **solve_kw))(stack)
     order = jnp.arange(m, dtype=results.rot_err.dtype)
     combined = results.rot_err + results.trans_err
+    # NaN-safe like ik.select_best: a diverged lane's NaN score would
+    # win the argmin under NumPy NaN semantics.
+    combined = jnp.where(jnp.isnan(combined), jnp.inf, combined)
     score = jnp.where(results.success, order, 1e6 + combined)
     i = jnp.argmin(score)
     return IKResult(
