@@ -94,7 +94,13 @@ def _register_host_arrays(model: "RobotModel", arrays: dict) -> None:
     needs host copies (``ops/cgen``/``ops/fd_step`` codegen, the fused
     MPC) goes through :func:`host_arrays` instead, which serves these
     registered copies with zero device traffic. Keyed by the identity of
-    one model leaf with weakref-based eviction.
+    the MODEL OBJECT (weakref-evicted): keying by a shared leaf (the old
+    ``id(model.screws_space)``) silently served STALE arrays to
+    ``dataclasses.replace`` derivatives — e.g. ``URDFToRobotModel``'s
+    ``joint_limits`` override shares ``screws_space`` with the original,
+    so the fused engines clamped to the pre-override limits. A
+    derivative now simply misses and falls back to one correct
+    ``jax.device_get``.
 
     Arrays are stored as immutable defensive copies: ``np.asarray`` would
     alias the caller's buffers when they are already float64, and a
@@ -113,17 +119,17 @@ def _register_host_arrays(model: "RobotModel", arrays: dict) -> None:
         h.update(a.tobytes())
     frozen["digest"] = h.hexdigest()
 
-    key = id(model.screws_space)
+    key = id(model)
     _HOST_ARRAYS[key] = frozen
-    weakref.finalize(model.screws_space, _HOST_ARRAYS.pop, key, None)
+    weakref.finalize(model, _HOST_ARRAYS.pop, key, None)
 
 
 def host_arrays(model: "RobotModel"):
     """Host-side f64 NumPy copies of the model arrays, or None when this
-    model was not built by :func:`make_robot_model` (e.g. a sliced or
-    tree-mapped derivative) — callers fall back to one batched
-    ``jax.device_get``."""
-    return _HOST_ARRAYS.get(id(model.screws_space))
+    model was not built by :func:`make_robot_model` (e.g. a sliced,
+    tree-mapped, or ``dataclasses.replace`` derivative) — callers fall
+    back to one batched ``jax.device_get``."""
+    return _HOST_ARRAYS.get(id(model))
 
 
 def make_robot_model(

@@ -59,6 +59,11 @@ class ILQRParams(NamedTuple):
     unroll: int = 1
     # Associative-scan Riccati (mpc/pscan.py): O(log H) sequential depth
     # instead of H scan steps — the latency path for single solves.
+    # Regularization semantics differ from the sequential backend: the
+    # scan elements bake R = luu + reg*I into the WHOLE value recursion
+    # (the associative formulation cannot use reg for the factorization
+    # only, as bstep does), so the two backends produce identical gains
+    # at reg ~ reg_init but diverge when reg grows after rejected steps.
     parallel_riccati: bool = False
 
 
@@ -99,16 +104,32 @@ def make_step_fn(model: RobotModel, dt: float, g=None, fused: bool = True) -> Ca
                 return jnp.concatenate([q_new, dq_new], axis=-1)
 
             return step
-        except (jax.errors.TracerArrayConversionError, TypeError):
-            pass  # traced model: fall through to the generic formulation
+        except (
+            jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError,
+        ):
+            # traced model: fall through to the generic formulation.
+            # (Deliberately NOT a bare TypeError — that silently swallowed
+            # genuine codegen bugs as an unexplained 3x slowdown.)
+            pass
 
     def step(x, u):
-        q, dq = x[:n], x[n:]
-        ddq = forward_dynamics_fast(model, q, dq, u, g)
+        # batched-state safe like the fused variant: slice the last axis
+        # and vmap the per-sample dynamics over any leading axes.
+        q, dq = x[..., :n], x[..., n:]
+        if x.ndim == 1:
+            ddq = forward_dynamics_fast(model, q, dq, u, g)
+        else:
+            lead = x.shape[:-1]
+            ddq = jax.vmap(
+                lambda qq, dd, uu: forward_dynamics_fast(model, qq, dd, uu, g)
+            )(q.reshape(-1, n), dq.reshape(-1, n), u.reshape(-1, n)).reshape(
+                *lead, n
+            )
         dq_new = dq + ddq * dt
         q_new = q + dq_new * dt
         q_new = jnp.clip(q_new, model.joint_lower, model.joint_upper)
-        return jnp.concatenate([q_new, dq_new])
+        return jnp.concatenate([q_new, dq_new], axis=-1)
 
     return step
 

@@ -285,7 +285,7 @@ def build_fd_step_planes(
     (``ops/pallas_rollout.py``) consumes directly; limits are applied as
     per-joint Python-float constants so no array constants are captured.
     """
-    S_np, Mc_np, G_np, lower, upper, vel_lim = _np_model(model)
+    *_, lower, upper, vel_lim = _np_model(model)
     n, dynamics_of = _emit_dynamics(model, g)
 
     def step(q_vals, dq_vals, tau_vals):
@@ -294,12 +294,14 @@ def build_fd_step_planes(
         ddq_vals = _chol_solve_values(M, rhs)
         dq_new = [dq_vals[i] + ddq_vals[i] * dt for i in range(n)]
         q_new = [q_vals[i] + dq_new[i] * dt for i in range(n)]
-        if clip_limits:
-            for i in range(n):
-                if np.isfinite(lower[i]) or np.isfinite(upper[i]):
-                    q_new[i] = jnp.clip(q_new[i], float(lower[i]), float(upper[i]))
-                if clip_velocity and np.isfinite(vel_lim[i]):
-                    dq_new[i] = jnp.clip(dq_new[i], -float(vel_lim[i]), float(vel_lim[i]))
+        # clip_velocity is independent of clip_limits (build_fd_step's
+        # documented contract) — nesting it under clip_limits silently
+        # skipped velocity clamping for clip_limits=False callers.
+        for i in range(n):
+            if clip_limits and (np.isfinite(lower[i]) or np.isfinite(upper[i])):
+                q_new[i] = jnp.clip(q_new[i], float(lower[i]), float(upper[i]))
+            if clip_velocity and np.isfinite(vel_lim[i]):
+                dq_new[i] = jnp.clip(dq_new[i], -float(vel_lim[i]), float(vel_lim[i]))
         return q_new, dq_new, ddq_vals
 
     return n, step

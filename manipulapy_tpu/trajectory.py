@@ -34,8 +34,7 @@ import jax.numpy as jnp
 
 from .core import lie
 from .core.time_scaling import scaling_profile
-from .dynamics import forward_dynamics_fast, inverse_dynamics, rnea, mass_matrix
-from .kinematics import jacobian
+from .dynamics import forward_dynamics_fast, inverse_dynamics, rnea
 from .models.robot import RobotModel
 
 __all__ = [
@@ -269,6 +268,11 @@ def forward_dynamics_trajectory(
         (thetamat, dthetamat, ddthetamat): each (N, J), where row t is the
         state at waypoint t (row 0 = initial state).
     """
+    if int(intRes) < 1:
+        # Same clear contract as build_rollout — without this, intRes=0
+        # reached the generic scan and died with an opaque trace-time
+        # IndexError (dt/0 then ddqs[-1] on a length-0 scan).
+        raise ValueError("intRes must be >= 1")
     concrete = not any(
         isinstance(x, jax.core.Tracer)
         for x in (
@@ -327,6 +331,14 @@ def _forward_dynamics_trajectory_generic(
     sub_dt = jnp.asarray(dt, dtype=thetalist.dtype) / intRes
     if Ftipmat is None:
         Ftipmat = jnp.zeros(taumat.shape[:-1] + (6,), dtype=thetalist.dtype)
+    else:
+        # A constant (6,) wrench must broadcast over the waypoint axis
+        # like the batched branch (and inverse_dynamics_trajectory) do —
+        # unbroadcast it would pair a length-6 leading axis with the
+        # (N, J) torque scan.
+        Ftipmat = jnp.broadcast_to(
+            jnp.asarray(Ftipmat, dtype=thetalist.dtype), taumat.shape[:-1] + (6,)
+        )
 
     def substep(state, tau_f):
         q, dq = state
