@@ -51,6 +51,9 @@ class RobotInfo(NamedTuple):
     description: str
 
 
+_PRIMARY_KEYS: List[str] = []
+
+
 def _families() -> Dict[str, RobotInfo]:
     """Robot metadata table. Facts (DoF, payload, reach) are public
     manufacturer specs; keys and relative URDF paths mirror the reference
@@ -60,6 +63,7 @@ def _families() -> Dict[str, RobotInfo]:
     def add(key, name, manu, dof, payload, reach, urdf, desc, aliases=()):
         info = RobotInfo(name, manu, dof, payload, reach, urdf, desc)
         db[key] = info
+        _PRIMARY_KEYS.append(key)
         for a in aliases:
             db[a] = info
 
@@ -145,12 +149,22 @@ def get_robot_urdf(robot_name: str) -> str:
     )
 
 
-def list_robots() -> List[str]:
-    return sorted(ROBOT_DATABASE)
+def _canonical_keys() -> List[str]:
+    """One key per physical robot: the PRIMARY registration keys (the
+    spelling the artifacts and URDF paths use), aliases excluded."""
+    return sorted(_PRIMARY_KEYS)
 
 
-def get_robots_by_dof(dof: int) -> List[str]:
-    return sorted(k for k, v in ROBOT_DATABASE.items() if v.dof == dof)
+def list_robots(include_aliases: bool = False) -> List[str]:
+    """Catalog keys; aliases ('franka_panda' for 'panda', ...) excluded
+    by default — a caller enumerating robots to benchmark must not
+    process the same robot twice."""
+    return sorted(ROBOT_DATABASE) if include_aliases else _canonical_keys()
+
+
+def get_robots_by_dof(dof: int, include_aliases: bool = False) -> List[str]:
+    keys = sorted(ROBOT_DATABASE) if include_aliases else _canonical_keys()
+    return [k for k in keys if ROBOT_DATABASE[k].dof == dof]
 
 
 @lru_cache(maxsize=None)

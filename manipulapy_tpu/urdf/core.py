@@ -45,6 +45,19 @@ class URDF:
     def __init__(self, robot: ParsedRobot):
         self.robot = robot
         self.name = robot.name
+        # The name->element maps are dict comprehensions (last wins), so
+        # duplicate names would SILENTLY drop elements and rewire the
+        # tree — the orphan/cycle count check downstream compares against
+        # the already-deduplicated maps and cannot catch it. Refuse here.
+        for kind, items, mapping in (
+            ("link", robot.links, robot.link_map),
+            ("joint", robot.joints, robot.joint_map),
+        ):
+            if len(items) != len(mapping):
+                seen, dups = set(), set()
+                for el in items:
+                    (dups if el.name in seen else seen).add(el.name)
+                raise ValueError(f"Duplicate {kind} name(s): {sorted(dups)}")
         self._links: Dict[str, Link] = robot.link_map
         self._joints: Dict[str, Joint] = robot.joint_map
         self.transmissions = list(getattr(robot, "transmissions", []))
@@ -202,6 +215,10 @@ class URDF:
         """Vectorized FK for (N, num_actuated) configurations -> name ->
         (N, 4, 4) (reference ``link_fk_batch``, ``urdf/core.py:564-620``)."""
         cfgs = np.asarray(cfgs, dtype=np.float64)
+        if cfgs.ndim != 2 or cfgs.shape[1] != len(self.actuated_joints):
+            raise ValueError(
+                f"cfgs must be (N, {len(self.actuated_joints)}), got {cfgs.shape}"
+            )
         N = cfgs.shape[0]
         name_to_idx = {j.name: i for i, j in enumerate(self.actuated_joints)}
         fk: Dict[str, np.ndarray] = {
@@ -211,12 +228,22 @@ class URDF:
             j = self.parent_joint.get(link)
             if j is None:
                 continue
-            if j.mimic is not None and j.mimic.joint in name_to_idx:
-                vals = cfgs[:, name_to_idx[j.mimic.joint]] * j.mimic.multiplier + j.mimic.offset
+            if j.mimic is not None:
+                # mirror link_fk's _joint_value exactly: the mimic's
+                # multiplier/offset apply even when the mimicked joint is
+                # NOT actuated (its base value is then 0).
+                if j.mimic.joint in name_to_idx:
+                    base = cfgs[:, name_to_idx[j.mimic.joint]]
+                else:
+                    base = np.zeros(N)
+                vals = base * j.mimic.multiplier + j.mimic.offset
             elif j.name in name_to_idx:
                 vals = cfgs[:, name_to_idx[j.name]]
             else:
                 vals = np.zeros(N)
+            if N == 0:
+                fk[link] = np.zeros((0, 4, 4))
+                continue
             poses = np.stack([j.child_pose(v) for v in vals])  # (N, 4, 4)
             fk[link] = np.einsum("nij,njk->nik", fk[j.parent], poses)
         return fk
@@ -310,7 +337,15 @@ class URDF:
                 )
             joint_T = fk[joint.parent] @ joint.origin.matrix
             w = joint_T[:3, :3] @ joint.axis
-            w = w / np.linalg.norm(w)
+            w_norm = float(np.linalg.norm(w))
+            if w_norm < 1e-12:
+                # 0/0 here would silently poison S_list/B_list (and every
+                # downstream FK/IK/dynamics result) with NaNs.
+                raise ValueError(
+                    f"Joint {joint.name!r} has a zero axis — cannot extract "
+                    "a screw axis"
+                )
+            w = w / w_norm
             p = joint_T[:3, 3]
             if joint.joint_type in (JointType.REVOLUTE, JointType.CONTINUOUS):
                 S_list[i, :3] = w
@@ -337,7 +372,6 @@ class URDF:
                     lower[i] = joint.limit.lower
                 if joint.limit.upper is not None:
                     upper[i] = joint.limit.upper
-            if joint.limit is not None:
                 if joint.limit.effort is not None:
                     effort[i] = joint.limit.effort
                 if joint.limit.velocity is not None:

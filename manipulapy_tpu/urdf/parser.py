@@ -101,11 +101,19 @@ class ParsedRobot:
         self.joint_map = {j.name: j for j in joints}
 
 
-def _floats(text: Optional[str], n: int, default: float = 0.0) -> np.ndarray:
+def _floats(
+    text: Optional[str], n: int, default: float = 0.0, broadcast: bool = False
+) -> np.ndarray:
+    """Parse a whitespace/comma-separated float vector, padding missing
+    components with ``default``. ``broadcast=True`` additionally expands
+    a single value to all ``n`` components — correct for mesh *scale*
+    (the URDF convention), but silently wrong for origin xyz/rpy or a
+    joint axis, where ``xyz="0.5"`` must mean [0.5, default, default],
+    not a displacement on three axes."""
     if not text:
         return np.full(n, default)
     vals = [float(x) for x in text.replace(",", " ").split()]
-    if len(vals) == 1 and n > 1:
+    if broadcast and len(vals) == 1 and n > 1:
         vals = vals * n
     return np.asarray(vals[:n] + [default] * (n - len(vals)))
 
@@ -137,12 +145,34 @@ class URDFParser:
     @staticmethod
     def _repair_xml(content: str) -> str:
         """Best-effort recovery for common authoring mistakes
-        (behavioural parity with ``parser.py:189-227``)."""
+        (behavioural parity with ``parser.py:189-227``): stray
+        ampersands, trailing junk after ``</robot>``, and a truncated
+        document missing its closing tags."""
         fixed = re.sub(r"&(?!amp;|lt;|gt;|quot;|apos;|#)", "&amp;", content)
-        # Strip anything after the final closing tag (trailing junk).
         end = fixed.rfind("</robot>")
         if end != -1:
+            # Strip anything after the final closing tag (trailing junk).
             fixed = fixed[: end + len("</robot>")]
+        elif "<robot" in fixed:
+            # Truncated document: close any dangling open elements (in
+            # reverse open order), then the root itself.
+            open_tags = []
+            for m in re.finditer(r"<(/?)([A-Za-z_][\w.-]*)([^<>]*?)(/?)>", fixed):
+                closing, tag, _, selfclose = m.groups()
+                if selfclose or tag.startswith("?") or tag.startswith("!"):
+                    continue
+                if closing:
+                    while open_tags and open_tags[-1] != tag:
+                        open_tags.pop()
+                    if open_tags:
+                        open_tags.pop()
+                else:
+                    open_tags.append(tag)
+            # Drop a trailing partial tag (e.g. the file ends mid-'<link').
+            last_lt = fixed.rfind("<")
+            if last_lt > fixed.rfind(">"):
+                fixed = fixed[:last_lt]
+            fixed += "".join(f"</{t}>" for t in reversed(open_tags))
         return fixed
 
     # -- element parsers ----------------------------------------------------
@@ -171,7 +201,7 @@ class URDFParser:
             fn = mesh.get("filename", "")
             return Mesh(
                 filename=self.resolver.resolve(fn, base_dir) if fn else "",
-                scale=_floats(mesh.get("scale"), 3, 1.0),
+                scale=_floats(mesh.get("scale"), 3, 1.0, broadcast=True),
             )
         return None
 

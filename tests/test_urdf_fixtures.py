@@ -83,7 +83,10 @@ class TestInvalidStructures:
         assert any("parent" in c or "child" in c or "reference" in c for c in codes), codes
 
     def test_missing_links_load_raises(self):
-        with pytest.raises(ValueError, match="unknown (parent|child) link"):
+        # the duplicated joint name is refused first (silent last-wins
+        # dedup would rewire the tree); a fixture without the duplicate
+        # would fail on the dangling link references instead
+        with pytest.raises(ValueError, match="Duplicate joint name"):
             URDF.load(fixture("missing_links.urdf"))
 
     def test_bad_inertia_flags(self):
@@ -234,6 +237,107 @@ class TestPrimitives:
         robot = URDFParser().parse_file(fixture("primitives.urdf"))
         base = {l.name: l for l in robot.links}["base"]
         assert base.visuals[0].material is not None
+
+
+class TestReviewRegressions:
+    """Round-5 review findings on the URDF core/parser."""
+
+    _MIMIC_OF_FIXED = """<robot name="m">
+      <link name="base"/>
+      <joint name="anchor" type="fixed"><parent link="base"/><child link="mid"/></joint>
+      <link name="mid"/>
+      <joint name="f" type="revolute">
+        <parent link="mid"/><child link="tip"/>
+        <axis xyz="0 0 1"/><limit lower="-2" upper="2" effort="1" velocity="1"/>
+        <mimic joint="anchor" multiplier="2.0" offset="0.5"/>
+      </joint>
+      <link name="tip"/>
+    </robot>"""
+
+    def test_batch_fk_matches_single_for_mimic_of_non_actuated(self):
+        """link_fk_batch dropped the mimic offset when the mimicked
+        joint was not actuated, silently diverging from link_fk."""
+        u = URDF.from_string(self._MIMIC_OF_FIXED)
+        single = u.link_fk({})["tip"]
+        batch = u.link_fk_batch(np.zeros((3, 0)))["tip"]
+        for k in range(3):
+            np.testing.assert_allclose(batch[k], single, atol=1e-12)
+        # and the offset really is applied (rotation by 0.5)
+        assert abs(single[0, 0] - np.cos(0.5)) < 1e-12
+
+    def test_batch_fk_empty_batch(self):
+        u = URDF.load(fixture("simple_arm.urdf"))
+        fk = u.link_fk_batch(np.zeros((0, 2)))
+        assert fk["fore"].shape == (0, 4, 4)
+
+    def test_batch_fk_wrong_width_raises(self):
+        u = URDF.load(fixture("simple_arm.urdf"))
+        with pytest.raises(ValueError, match="cfgs must be"):
+            u.link_fk_batch(np.zeros((4, 5)))
+
+    def test_duplicate_link_name_refused(self):
+        xml = """<robot name="d">
+          <link name="a"/><link name="a"/>
+          <joint name="j" type="fixed"><parent link="a"/><child link="a"/></joint>
+        </robot>"""
+        with pytest.raises(ValueError, match="Duplicate link name"):
+            URDF.from_string(xml)
+
+    def test_zero_axis_screw_extraction_raises(self):
+        xml = """<robot name="z">
+          <link name="base"/>
+          <joint name="j" type="revolute">
+            <parent link="base"/><child link="tip"/>
+            <axis xyz="0 0 0"/><limit lower="-1" upper="1" effort="1" velocity="1"/>
+          </joint>
+          <link name="tip"/>
+        </robot>"""
+        u = URDF.from_string(xml)
+        with pytest.raises(ValueError, match="zero axis"):
+            u.extract_screw_axes()
+
+    def test_single_value_xyz_not_broadcast(self):
+        """<origin xyz="0.5"/> must mean [0.5, 0, 0], not a displacement
+        on three axes (broadcast stays correct for mesh scale only)."""
+        xml = """<robot name="b">
+          <link name="base"/>
+          <joint name="j" type="fixed">
+            <origin xyz="0.5"/><parent link="base"/><child link="tip"/>
+          </joint>
+          <link name="tip">
+            <visual><geometry><mesh filename="m.stl" scale="0.001"/></geometry></visual>
+          </link>
+        </robot>"""
+        robot = URDFParser().parse_string(xml)
+        np.testing.assert_allclose(robot.joint_map["j"].origin.xyz, [0.5, 0.0, 0.0])
+        np.testing.assert_allclose(
+            robot.link_map["tip"].visuals[0].geometry.scale, [1e-3] * 3
+        )
+
+    def test_truncated_document_repaired(self):
+        """A document cut off before its closing tags parses through the
+        repair path (the docstring's promised recovery)."""
+        truncated = """<robot name="t">
+          <link name="base"/>
+          <joint name="j" type="revolute">
+            <parent link="base"/><child link="tip"/>
+            <axis xyz="0 0 1"/><limit lower="-1" upper="1" effort="1" velocity="1"/>
+          </joint>
+          <link name="tip"/>
+        """
+        robot = URDFParser().parse_string(truncated)
+        assert len(robot.links) == 2 and len(robot.joints) == 1
+
+    def test_canonical_robot_listing_excludes_aliases(self):
+        from manipulapy_tpu.models import robot_data as rd
+
+        canon = rd.list_robots()
+        full = rd.list_robots(include_aliases=True)
+        assert len(full) > len(canon)
+        # one entry per physical robot in the dof listing
+        seven = rd.get_robots_by_dof(7)
+        urdfs = [rd.ROBOT_DATABASE[k].urdf for k in seven]
+        assert len(urdfs) == len(set(urdfs))
 
 
 class TestMalformedRecovery:
