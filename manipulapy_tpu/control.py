@@ -33,8 +33,6 @@ logger = logging.getLogger(__name__)
 from .dynamics import (
     bias_forces,
     forward_dynamics_fast,
-    gravity_forces,
-    inverse_dynamics,
     mass_matrix,
     rnea,
 )
@@ -361,8 +359,22 @@ def find_ultimate_gain_and_period(
     errs = jax.vmap(rollout_err)(gains)  # (num_gains, steps)
     signs = jnp.sign(errs)
     crossings = jnp.sum(jnp.abs(jnp.diff(signs, axis=1)) > 1, axis=1)
-    oscillates = crossings >= 4
-    # Smallest oscillating gain (fall back to the largest gain if none).
+    # SUSTAINED oscillation, not mere damped ringing: with the fixed 0.1
+    # velocity damping virtually any stable gain rings through >= 4 sign
+    # changes, which made Ku collapse to the sweep's starting gain. The
+    # marginal-stability criterion also requires the envelope to hold up:
+    # the peak amplitude of the trace's second half must stay within an
+    # order of magnitude of the first half's.
+    half = errs.shape[1] // 2
+    amp_first = jnp.max(jnp.abs(errs[:, :half]), axis=1)
+    amp_second = jnp.max(jnp.abs(errs[:, half:]), axis=1)
+    sustained = amp_second >= 0.1 * jnp.maximum(amp_first, 1e-12)
+    oscillates = jnp.logical_and(crossings >= 4, sustained)
+    # Smallest sustained-oscillating gain. With NO such gain, return
+    # Tu = 0 — the documented no-oscillation signal that
+    # ziegler_nichols_tuning / tune_controller check for (previously the
+    # fallback returned dt*steps, so the guard could never fire and
+    # bogus Z-N gains flowed through silently).
     idx = jnp.argmax(oscillates)
     found = jnp.any(oscillates)
     Ku = jnp.where(found, gains[idx], gains[-1])
@@ -375,6 +387,7 @@ def find_ultimate_gain_and_period(
         - jnp.argmax(cross_t)  # index of first crossing
     ) * dt
     Tu = jnp.where(num_cross > 1, 2.0 * span / jnp.maximum(num_cross - 1, 1), dt * steps)
+    Tu = jnp.where(found, Tu, 0.0)
     return Ku, Tu
 
 
@@ -410,6 +423,11 @@ def step_response_metrics(t: jnp.ndarray, y: jnp.ndarray, setpoint, tol: float =
     last_outside = y.shape[0] - 1 - rev_idx
     settle_idx = jnp.where(ever_outside, jnp.minimum(last_outside + 1, y.shape[0] - 1), 0)
     settling_time = t[settle_idx]
+    # A trace still outside the band at its LAST sample never settled —
+    # report NaN (like rise_time's never-reached sentinel) rather than
+    # t[-1], which is indistinguishable from settling at the end.
+    never_settled = outside[-1]
+    settling_time = jnp.where(never_settled, jnp.nan, settling_time)
 
     sse = jnp.abs(y[-1] - sp)
     return {

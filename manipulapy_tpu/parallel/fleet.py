@@ -24,11 +24,11 @@ the reference's multi-robot support is purely kinematic
 
 from __future__ import annotations
 
-from typing import Callable, List, NamedTuple, Optional, Sequence, Tuple
+from functools import lru_cache
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..dynamics import mass_matrix, rnea
@@ -285,9 +285,24 @@ def fleet_mpc_round(
         explicitly-reduced collective).
     """
     S = x0.shape[1]
+    n_dev = mesh.devices.size
+    if S % n_dev != 0:
+        # checked BEFORE the solver branch: the fused path previously
+        # surfaced this only as a deeper builder error after per-robot
+        # unpadding work.
+        raise ValueError(f"scenario count {S} must be divisible by the mesh size {n_dev}")
     if solver == "fused_batch":
         from .fused_fleet import build_fleet_fused_mpc
 
+        if fused_mpc is not None:
+            # a prebuilt handle whose configuration silently disagrees
+            # with `params` would solve with stale settings
+            if fused_mpc.horizon != params.horizon or fused_mpc.scenarios != S:
+                raise ValueError(
+                    f"prebuilt fused_mpc (H={fused_mpc.horizon}, "
+                    f"S={fused_mpc.scenarios}) does not match params/call "
+                    f"(H={params.horizon}, S={S})"
+                )
         if fused_mpc is None:
             fused_mpc = build_fleet_fused_mpc(
                 fleet,
@@ -304,15 +319,26 @@ def fleet_mpc_round(
         return fused_mpc.round(x0, us0, q_goals)
     if solver != "ilqr":
         raise ValueError(f"unknown solver {solver!r} (use 'ilqr' or 'fused_batch')")
-    n_dev = mesh.devices.size
-    if S % n_dev != 0:
-        raise ValueError(f"scenario count {S} must be divisible by the mesh size {n_dev}")
 
     fleet_r = Fleet(model=replicate_model(fleet.model, mesh), mask=replicate_model(fleet.mask, mesh))
     sh = NamedSharding(mesh, P(None, axis_name))
     x0 = jax.device_put(x0, sh)
     us0 = jax.device_put(us0, sh)
     q_goals = jax.device_put(q_goals, sh)
+
+    g_key = None if g is None else tuple(float(x) for x in g)
+    round_fn = _ilqr_round_fn(mesh, axis_name, params, g_key)
+    us, costs, fleet_cost = round_fn(fleet_r.model, fleet_r.mask, x0, us0, q_goals)
+    return us, costs, fleet_cost
+
+
+@lru_cache(maxsize=None)
+def _ilqr_round_fn(mesh, axis_name, params, g_key):
+    """The jitted generic-iLQR fleet round, cached by configuration:
+    jax.jit keys on FUNCTION IDENTITY, so defining this closure inside
+    fleet_mpc_round re-traced and re-compiled the whole nested-vmap
+    solve on EVERY receding-horizon round."""
+    g = None if g_key is None else g_key
 
     @jax.jit
     def round_fn(model, mask, x0, us0, q_goals):
@@ -325,5 +351,4 @@ def fleet_mpc_round(
 
         return res.us, res.cost, global_mean(res.cost)[0]
 
-    us, costs, fleet_cost = round_fn(fleet_r.model, fleet_r.mask, x0, us0, q_goals)
-    return us, costs, fleet_cost
+    return round_fn

@@ -16,8 +16,8 @@ reductions in :mod:`manipulapy_tpu.mpc`).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Optional
+from functools import lru_cache
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -127,30 +127,56 @@ def distributed_rollout(
     at scale): (B, n) initial states + (B, N, n) torques, B sharded over
     the scenario axis.
     """
+    return _cached_rollout(mesh, _hashable_g(g), float(dt), int(intRes))(
+        model, q0, dq0, taus
+    )
+
+
+def _hashable_g(g):
+    return None if g is None else tuple(float(x) for x in g)
+
+
+# sharded_vmap's internal per-arity jit cache lives in the wrapper
+# closure, and jax.jit keys on FUNCTION IDENTITY — rebuilding the
+# wrapper (and a fresh per_scenario closure) on every distributed_*
+# call re-traced and re-compiled the whole program each time. These
+# lru_caches make repeated calls hit the same wrapper/jit.
+@lru_cache(maxsize=None)
+def _cached_rollout(mesh: Mesh, g, dt: float, intRes: int):
     from ..trajectory import forward_dynamics_trajectory
 
     def per_scenario(model, q0_i, dq0_i, tau_i):
-        return forward_dynamics_trajectory(model, q0_i, dq0_i, tau_i, g=g, dt=dt, intRes=intRes)
+        return forward_dynamics_trajectory(
+            model, q0_i, dq0_i, tau_i, g=g, dt=dt, intRes=intRes
+        )
 
-    return sharded_vmap(per_scenario, mesh)(model, q0, dq0, taus)
+    return sharded_vmap(per_scenario, mesh)
 
 
 def distributed_ik(model, mesh: Mesh, targets: jnp.ndarray, guesses: jnp.ndarray, **kw):
     """Mesh-sharded batched IK (config #4 ingredient): (B, 4, 4) targets
     solved concurrently across all devices."""
+    return _cached_ik(mesh, tuple(sorted(kw.items())))(model, targets, guesses)
+
+
+@lru_cache(maxsize=None)
+def _cached_ik(mesh: Mesh, kw_items):
     from ..ik import solve_ik
 
     def per_scenario(model, T, th0):
-        return solve_ik(model, T, th0, **kw)
+        return solve_ik(model, T, th0, **dict(kw_items))
 
-    return sharded_vmap(per_scenario, mesh)(model, targets, guesses)
+    return sharded_vmap(per_scenario, mesh)
 
 
 def scaling_efficiency(times_by_devices: dict) -> dict:
     """Weak-scaling report: eff(n) = T(1) / T(n) where every entry keeps
     the per-device work constant (so ideal scaling holds T(n) = T(1) and
     eff = 1.0). BASELINE target: >= 0.8 at 2+ hosts. For strong scaling
-    (fixed total work), divide the measured times by n before calling."""
+    (fixed total work, ideal T(n) = T(1)/n), MULTIPLY the measured times
+    by n before calling — ``{n: T(n) * n}`` gives eff = T(1)/(n T(n)) =
+    1.0 under ideal strong scaling. (Dividing by n, as a previous
+    version of this docstring said, would report eff = n^2.)"""
     if 1 not in times_by_devices:
         raise ValueError("need a 1-device baseline time")
     t1 = times_by_devices[1]

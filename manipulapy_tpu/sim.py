@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .control import ControlState, computed_torque_control
-from .dynamics import bias_forces, forward_dynamics_fast, gravity_forces, mass_matrix
+from .dynamics import bias_forces, forward_dynamics_fast, mass_matrix
 from .kinematics import forward_kinematics
 from .models.robot import RobotModel
 from .potential_field import LinkSpheres, check_self_collision, default_link_spheres

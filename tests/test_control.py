@@ -188,8 +188,26 @@ class TestTuningMetrics:
         assert np.all(np.asarray(tau) <= np.asarray(ur5.torque_limit) + 1e-9)
 
     def test_find_ultimate_gain(self, planar2):
-        """The gain sweep finds an oscillating gain on the 2R arm."""
+        """A sweep that genuinely sustains oscillation (Kp >= 20 rings
+        through the whole 6 s window on the 2R arm) yields Ku, Tu > 0."""
         Ku, Tu = control.find_ultimate_gain_and_period(
+            planar2,
+            jnp.zeros(2, dtype=jnp.float64),
+            jnp.asarray([0.5, -0.3]),
+            jnp.zeros(3),
+            steps=600,
+            Kp_start=20.0,
+            num_gains=8,
+        )
+        assert float(Ku) >= 20.0
+        assert float(Tu) > 0
+
+    def test_find_ultimate_gain_no_oscillation_signals_zero(self, planar2):
+        """A sweep whose gains never sustain oscillation returns Tu == 0
+        — the documented no-oscillation signal ziegler_nichols_tuning
+        checks (the old fallback returned dt*steps, so the guard could
+        never fire and bogus Z-N gains flowed through silently)."""
+        _, Tu = control.find_ultimate_gain_and_period(
             planar2,
             jnp.zeros(2, dtype=jnp.float64),
             jnp.asarray([0.5, -0.3]),
@@ -197,5 +215,4 @@ class TestTuningMetrics:
             steps=200,
             num_gains=12,
         )
-        assert float(Ku) > 0
-        assert float(Tu) > 0
+        assert float(Tu) == 0.0
