@@ -1,4 +1,9 @@
-"""Singularity & manipulability analysis, batched over configurations.
+"""Singularity & manipulability analysis.
+
+Every function here takes ONE configuration ``q`` of shape (n,); batch
+with ``jax.vmap`` (as every caller in examples/benchmarks does —
+``jacobian``'s per-joint indexing means a (B, n) array passed directly
+would be misread as per-joint rows and crash).
 
 Capability parity with the reference's ``Singularity`` class
 (``ManipulaPy/singularity.py:38-247``): SVD-based singularity detection,

@@ -33,6 +33,17 @@ __all__ = ["save_checkpoint", "load_checkpoint", "CheckpointManager"]
 
 _STRUCT_KEY = "__treedef_pickle__"
 _META_KEY = "__meta_json__"
+# dtypes np.savez/np.load round-trip natively; anything else (ml_dtypes:
+# bfloat16, float8_*, ...) is stored as a uint8 byte view + recorded name.
+_NATIVE_DTYPES = frozenset(
+    np.dtype(t).name
+    for t in (
+        np.bool_, np.int8, np.int16, np.int32, np.int64,
+        np.uint8, np.uint16, np.uint32, np.uint64,
+        np.float16, np.float32, np.float64,
+        np.complex64, np.complex128,
+    )
+)
 
 
 def save_checkpoint(path: str, tree: Any, meta: Optional[dict] = None) -> str:
@@ -42,12 +53,30 @@ def save_checkpoint(path: str, tree: Any, meta: Optional[dict] = None) -> str:
     container structure (dicts, NamedTuples, dataclass PyTrees) is
     restored by :func:`load_checkpoint`. ``meta`` is an optional small
     JSON-able dict (step number, wall time, config hash).
+
+    Extended (ml_dtypes) leaves — bfloat16, float8 variants — are stored
+    as raw-byte views with the original dtype recorded: ``np.savez``
+    would otherwise serialize them as opaque void arrays that ``np.load``
+    cannot reconstruct (the restored leaf raised 'Dtype |V2 is not a
+    valid JAX array type').
+
+    SECURITY: the container structure round-trips through pickle, so a
+    checkpoint file is TRUSTED INPUT — never load one from an untrusted
+    source (loading executes the embedded pickle).
     """
     leaves, treedef = jax.tree.flatten(tree)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays = {}
+    dtype_overrides = {}
+    for i, x in enumerate(leaves):
+        a = np.asarray(x)
+        if a.dtype.name not in _NATIVE_DTYPES:
+            dtype_overrides[str(i)] = {"dtype": a.dtype.name, "scalar": a.ndim == 0}
+            a = np.ascontiguousarray(a.reshape(-1) if a.ndim == 0 else a).view(np.uint8)
+        arrays[f"leaf_{i}"] = a
     arrays[_STRUCT_KEY] = np.frombuffer(pickle.dumps(treedef), dtype=np.uint8)
     arrays[_META_KEY] = np.frombuffer(
-        json.dumps(meta or {}).encode(), dtype=np.uint8
+        json.dumps({"meta": meta or {}, "dtypes": dtype_overrides}).encode(),
+        dtype=np.uint8,
     )
     buf = io.BytesIO()
     np.savez(buf, **arrays)
@@ -70,12 +99,28 @@ def load_checkpoint(path: str, with_meta: bool = False):
     """Restore the PyTree saved by :func:`save_checkpoint`.
 
     Returns the tree, or ``(tree, meta)`` when ``with_meta=True``.
+    TRUSTED INPUT ONLY: the stored container structure round-trips
+    through pickle (see :func:`save_checkpoint`).
     """
+    import ml_dtypes  # shipped with jax; registers bfloat16/float8 dtypes
+
     with np.load(path, allow_pickle=False) as z:
         treedef = pickle.loads(z[_STRUCT_KEY].tobytes())
-        meta = json.loads(z[_META_KEY].tobytes().decode())
+        blob = json.loads(z[_META_KEY].tobytes().decode())
+        if isinstance(blob, dict) and set(blob) == {"meta", "dtypes"}:
+            meta, overrides = blob["meta"], blob["dtypes"]
+        else:  # pre-0.5.0 checkpoint: the blob IS the meta dict
+            meta, overrides = blob, {}
         n = len([k for k in z.files if k.startswith("leaf_")])
-        leaves = [z[f"leaf_{i}"] for i in range(n)]
+        leaves = []
+        for i in range(n):
+            a = z[f"leaf_{i}"]
+            ov = overrides.get(str(i))
+            if ov is not None:
+                a = a.view(np.dtype(ov["dtype"]))
+                if ov["scalar"]:
+                    a = a.reshape(())
+            leaves.append(a)
     tree = jax.tree.unflatten(treedef, leaves)
     return (tree, meta) if with_meta else tree
 
@@ -89,6 +134,9 @@ class CheckpointManager:
     """
 
     def __init__(self, directory: str, prefix: str = "ckpt", max_to_keep: int = 3):
+        if int(max_to_keep) < 1:
+            # [:-0] == [:0] silently disabled rotation entirely
+            raise ValueError("max_to_keep must be >= 1")
         self.directory = directory
         self.prefix = prefix
         self.max_to_keep = int(max_to_keep)

@@ -128,9 +128,17 @@ class Vision:
 
         The camera eye comes from this camera's extrinsic translation; the
         projection from its intrinsics/near/far. The PyBullet depth buffer
-        is normalized [0, 1]; it is mapped to metres with the reference's
-        linear scaling ``near + (far - near) * buf`` so downstream
-        unprojection (``detect_obstacles``) sees real distances.
+        is a NONLINEAR OpenGL z-buffer in [0, 1]; metric depth is its
+        perspective inversion ``far * near / (far - (far - near) * buf)``.
+        (The reference linearizes with ``near + (far - near) * buf``,
+        ``vision.py:649-653`` — with near=0.1/far=10 that reports an
+        object at 1 m as 9.1 m; this is an upstream bug we deliberately
+        do NOT mirror, so downstream unprojection sees real distances.)
+
+        Note: PyBullet's FOV projection implies fx == fy and a centered
+        principal point; a config with fx != fy (or off-center cx/cy)
+        renders with fy's focal length — use real sensors or pre-rendered
+        depth for full-intrinsics fidelity.
 
         Returns (None, None) when the camera index is unknown — the
         reference's soft-failure contract. Raises ImportError without
@@ -168,7 +176,7 @@ class Vision:
         rgba, depth_buf = out[2], out[3]
         rgb = np.asarray(rgba, dtype=np.uint8).reshape(cam.height, cam.width, -1)[:, :, :3]
         depth = np.asarray(depth_buf, dtype=np.float32).reshape(cam.height, cam.width)
-        depth = cam.near + (cam.far - cam.near) * depth
+        depth = (cam.far * cam.near) / (cam.far - (cam.far - cam.near) * depth)
         return rgb, depth
 
     # -- detection -----------------------------------------------------------
@@ -222,6 +230,11 @@ class Vision:
         ``method='yolo'``: optional ultralytics path with identical
         unprojection.
         """
+        # soft-failure contract like capture_image: an out-of-range index
+        # returns an empty result rather than IndexError (and a negative
+        # index must not silently select the last camera's intrinsics).
+        if not (0 <= camera_index < len(self.cameras)):
+            return np.zeros((0, 3)), np.zeros((0,), dtype=int)
         cam = self.cameras[camera_index]
         if method == "yolo":
             yolo = self._ensure_yolo()
@@ -238,9 +251,18 @@ class Vision:
         for (x1, y1, x2, y2, label) in boxes:
             roi = depth[max(y1, 0) : y2, max(x1, 0) : x2]
             valid = roi[np.isfinite(roi) & (roi > 0)]
+            if method != "yolo":
+                # depth path: the component's OWN pixels, not the whole
+                # bbox — a sparse/diagonal blob's bbox is dominated by
+                # background, so the bbox median reported the BACKGROUND
+                # depth (e.g. a 1 m obstacle at z = 5 m).
+                near = valid[valid < depth_threshold]
+                valid = near if near.size else valid
             if valid.size == 0:
                 continue
             z = float(np.median(valid))
+            if method != "yolo" and z > depth_threshold:
+                continue  # reference drops median-beyond-threshold boxes
             u, v = (x1 + x2) / 2.0, (y1 + y2) / 2.0
             p_cam = np.asarray(pixel_to_camera(u, v, z, cam))
             p_world = np.asarray(camera_to_world(p_cam, cam))

@@ -227,14 +227,22 @@ class TestGuiAndCollision:
 
 class TestSimCamera:
     def test_capture_image_metric_depth(self):
-        """capture_image maps the [0,1] depth buffer to metres with the
-        reference's near + (far-near)*buf scaling (vision.py:649-653)."""
+        """capture_image inverts the NONLINEAR OpenGL z-buffer:
+        z = far*near / (far - (far-near)*buf). (The reference's linear
+        near + (far-near)*buf map is an upstream bug — it reports an
+        object at 1 m as 9.1 m — deliberately not mirrored.)"""
         cam = CameraConfig(width=64, height=48, near=0.1, far=10.0)
         vision = Vision([cam])
         rgb, depth = vision.capture_image(0, pb_module=FakePB())
         assert rgb.shape == (48, 64, 3) and rgb.dtype == np.uint8
         assert depth.shape == (48, 64)
-        np.testing.assert_allclose(depth, 0.1 + 9.9 * 0.5, rtol=1e-6)
+        np.testing.assert_allclose(depth, 10.0 * 0.1 / (10.0 - 9.9 * 0.5), rtol=1e-6)
+        # round-trip sanity: the buffer value an object at z=1 m produces
+        # must invert back to 1 m
+        z = 1.0
+        buf = (10.0 / (10.0 - 0.1)) * (1.0 - 0.1 / z)
+        z_back = 10.0 * 0.1 / (10.0 - 9.9 * buf)
+        assert abs(z_back - z) < 1e-9
 
     def test_capture_bad_index_soft_fails(self):
         vision = Vision([CameraConfig()])

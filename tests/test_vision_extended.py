@@ -168,3 +168,59 @@ class TestDBSCANProperties:
     def test_perception_cluster_empty(self):
         labels, num = Perception().cluster_obstacles(np.zeros((0, 3)))
         assert num == 0 and labels.shape == (0,)
+
+
+class TestReviewRegressions:
+    """Round-5 review findings on vision/checkpoint."""
+
+    def test_sparse_blob_reports_obstacle_depth_not_background(self):
+        """A thin diagonal obstacle's bbox is dominated by background
+        pixels — the bbox median previously reported the BACKGROUND
+        depth (5 m for a 1 m obstacle)."""
+        v = Vision(camera_configs=[CameraConfig(width=320, height=240, cx=160, cy=120)])
+        d = np.full((240, 320), 5.0, dtype=np.float32)
+        for i in range(60):  # thin diagonal at 1.0 m
+            d[80 + i, 80 + i] = 1.0
+        pos, _ = v.detect_obstacles(
+            np.zeros((240, 320, 3), np.uint8), d,
+            depth_threshold=2.0, min_blob_area=10,
+        )
+        assert pos.shape[0] == 1
+        assert pos[0, 2] == pytest.approx(1.0, abs=1e-3)
+
+    def test_detect_obstacles_bad_camera_index_soft_fails(self):
+        v = Vision(camera_configs=[CameraConfig()])
+        rgb = np.zeros((480, 640, 3), np.uint8)
+        d = np.full((480, 640), 5.0, np.float32)
+        pos, lab = v.detect_obstacles(rgb, d, camera_index=3)
+        assert pos.shape == (0, 3) and lab.shape == (0,)
+        pos, lab = v.detect_obstacles(rgb, d, camera_index=-1)
+        assert pos.shape == (0, 3)
+
+    def test_bfloat16_checkpoint_roundtrip(self, tmp_path):
+        """np.savez serializes ml_dtypes leaves as opaque void arrays —
+        the restored bf16 state previously raised 'Dtype |V2 is not a
+        valid JAX array type'."""
+        import jax.numpy as jnp
+
+        from manipulapy_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+        tree = {
+            "us": jnp.full((4, 2), 1.5, dtype=jnp.bfloat16),
+            "step_scale": jnp.asarray(0.25, jnp.bfloat16),
+            "f32": jnp.arange(3.0),
+        }
+        p = str(tmp_path / "bf16.npz")
+        save_checkpoint(p, tree, meta={"step": 3})
+        out, meta = load_checkpoint(p, with_meta=True)
+        assert meta == {"step": 3}
+        assert str(out["us"].dtype) == "bfloat16" and out["us"].shape == (4, 2)
+        assert str(out["step_scale"].dtype) == "bfloat16" and out["step_scale"].shape == ()
+        assert float(np.asarray(out["step_scale"], np.float32)) == 0.25
+        np.testing.assert_allclose(np.asarray(out["f32"]), [0.0, 1.0, 2.0])
+
+    def test_checkpoint_manager_rejects_zero_keep(self, tmp_path):
+        from manipulapy_tpu.utils.checkpoint import CheckpointManager
+
+        with pytest.raises(ValueError, match="max_to_keep"):
+            CheckpointManager(str(tmp_path), max_to_keep=0)
